@@ -1,0 +1,388 @@
+"""Attention ops — the kernel layer.
+
+TPU-native re-design of the reference's attention stack
+(``medmm/modeling/ops/attention.py``):
+
+* :class:`MultiheadAttention` — batch-first MHA that can return the
+  **raw (pre-softmax) attention scores** for co-attention interpretability
+  (reference ``multi_head_attention_forward:236-547``, ``need_raw`` path at
+  ``:526-541``).  Masks are *valid=True* booleans (the reference uses
+  torch's inverted ``key_padding_mask``; we invert at the boundary).
+* :class:`NystromAttention` / :class:`Nystromformer` / :class:`TransLayer` —
+  linear-complexity landmark attention with iterative Moore-Penrose
+  pseudo-inverse (reference ``attention.py:46-231``, pinv at
+  ``ops/utils.py:116-131``), extended with first-class mask support so that
+  fixed-shape padded bags replace the reference's variable-length bags.
+
+Everything is matmul-shaped and fuses well under XLA; the landmark reduce,
+the three similarity einsums and the 6 pinv iterations all hit the MXU.
+Computation is performed in float32 (params may be bf16 under the precision
+policy; ``preferred_element_type`` keeps MXU accumulation fp32).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# torch-compatible initializers (for statistical parity with the reference)
+# ---------------------------------------------------------------------------
+
+# torch nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), +)
+torch_linear_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch's default initialization."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init, (fan_in, self.features)
+        )
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", torch_linear_bias_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+# ---------------------------------------------------------------------------
+# functional pieces
+# ---------------------------------------------------------------------------
+
+def masked_fill_neg(scores: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Fill invalid positions with -finfo.max (reference uses the same value,
+    ``attention.py:134``)."""
+    neg = -jnp.finfo(scores.dtype).max
+    return jnp.where(valid, scores, neg)
+
+
+def moore_penrose_pinv(x: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
+    """Iterative Moore-Penrose pseudo-inverse (reference ``ops/utils.py:116-131``).
+
+    Note the reference normalizes by the *global* max over all batch/head
+    dims (``torch.max`` with no dim); reproduced faithfully.
+    """
+    abs_x = jnp.abs(x)
+    col = abs_x.sum(axis=-1)
+    row = abs_x.sum(axis=-2)
+    z = jnp.swapaxes(x, -1, -2) / (jnp.max(col) * jnp.max(row))
+    eye = jnp.eye(x.shape[-1], dtype=x.dtype)
+
+    # the Newton-Schulz iteration is numerics-sensitive: force true-fp32 MXU
+    # passes (TPU fp32 matmul otherwise defaults to bf16 passes)
+    def body(_, z):
+        with jax.default_matmul_precision("highest"):
+            xz = x @ z
+            return 0.25 * z @ (13 * eye - (xz @ (15 * eye - (xz @ (7 * eye - xz)))))
+
+    return jax.lax.fori_loop(0, iters, body, z)
+
+
+def dense_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_valid: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Plain masked dense attention.
+
+    q: [B,H,L,dh], k/v: [B,H,S,dh], key_valid: [B,S] bool (True = attend).
+    Returns (out [B,H,L,dh], weights [B,H,L,S], raw scores [B,H,L,S]).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhld,bhsd->bhls", q * scale, k)
+    if key_valid is not None:
+        scores = masked_fill_neg(scores, key_valid[:, None, None, :])
+    raw = scores
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhls,bhsd->bhld", weights, v)
+    return out, weights, raw
+
+
+# ---------------------------------------------------------------------------
+# modules
+# ---------------------------------------------------------------------------
+
+
+class MultiheadAttention(nn.Module):
+    """Batch-first MHA with optional raw-score output.
+
+    Equivalent to reference ``ops/blocks.py:346-527`` + the forked
+    ``multi_head_attention_forward`` (``ops/attention.py:236-547``): packed
+    qkv projection (xavier-uniform init, zero bias), output projection
+    (torch Linear default init), softmax-dropout, and the ``need_raw``
+    interpretability path that returns pre-softmax scores per head.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [B, L, E]
+        key: jnp.ndarray,  # [B, S, E]
+        value: jnp.ndarray,  # [B, S, E]
+        key_valid: Optional[jnp.ndarray] = None,  # [B, S] bool, True = attend
+        need_raw: bool = True,
+        deterministic: bool = True,
+    ):
+        e, h = self.embed_dim, self.num_heads
+        dh = e // h
+        assert dh * h == e, "embed_dim must be divisible by num_heads"
+        in_proj_w = self.param("in_proj_weight", xavier_uniform, (e, 3 * e))
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+        proj = jnp.einsum("...d,de->...e", query, in_proj_w[:, :e]) + in_proj_b[:e]
+        q = proj
+        k = jnp.einsum("...d,de->...e", key, in_proj_w[:, e : 2 * e]) + in_proj_b[e : 2 * e]
+        v = (
+            jnp.einsum("...d,de->...e", value, in_proj_w[:, 2 * e :])
+            + in_proj_b[2 * e :]
+        )
+
+        def split(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        out, weights, raw = dense_attention(q, k, v, key_valid, scale=dh**-0.5)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
+            out = jnp.einsum("bhls,bhsd->bhld", weights, v)
+        b, _, l, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, e)
+        out = TorchLinear(e, name="out_proj")(out)
+        if need_raw:
+            return out, raw  # [B, H, L, S]
+        return out, weights.mean(axis=1)  # averaged over heads
+
+
+class NystromAttention(nn.Module):
+    """Nyström linear attention over (optionally masked) token sequences.
+
+    Faithful to reference ``ops/attention.py:46-161``: front-pad to a
+    multiple of the landmark count, landmark sums with (masked) mean, three
+    similarity softmaxes, 6-iteration Moore-Penrose pinv of the landmark
+    Gram matrix, and a depthwise-conv value residual.
+    """
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    num_landmarks: int = 256
+    pinv_iterations: int = 6
+    residual: bool = True
+    residual_conv_kernel: int = 33
+    eps: float = 1e-8
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, N, D]
+        mask: Optional[jnp.ndarray] = None,  # [B, N] bool, True = valid
+        return_attn: bool = False,
+        deterministic: bool = True,
+    ):
+        b, n, _ = x.shape
+        h, m, iters, eps = self.heads, self.num_landmarks, self.pinv_iterations, self.eps
+        inner = h * self.dim_head
+
+        # pad front so the sequence divides into m landmark groups
+        remainder = n % m
+        padding = (m - remainder) % m
+        if padding > 0:
+            x = jnp.pad(x, ((0, 0), (padding, 0), (0, 0)))
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (padding, 0)), constant_values=False)
+        n_pad = n + padding
+
+        qkv = TorchLinear(inner * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, n_pad, h, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        if mask is not None:
+            mvalid = mask[:, None, :, None]  # [B,1,N,1]
+            q = q * mvalid
+            k = k * mvalid
+            v = v * mvalid
+
+        q = q * (self.dim_head**-0.5)
+
+        # landmarks: m groups of l consecutive tokens, summed then mean'd
+        l = n_pad // m
+        q_l = q.reshape(b, h, m, l, self.dim_head).sum(axis=3)
+        k_l = k.reshape(b, h, m, l, self.dim_head).sum(axis=3)
+
+        if mask is not None:
+            mask_l_sum = mask.reshape(b, 1, m, l).sum(axis=3)  # [B,1,m]
+            divisor = mask_l_sum[..., None] + eps
+            mask_l = mask_l_sum > 0
+        else:
+            divisor = float(l)
+            mask_l = None
+        q_l = q_l / divisor
+        k_l = k_l / divisor
+
+        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)
+        sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)
+        sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)
+
+        if mask is not None:
+            sim1 = masked_fill_neg(
+                sim1, mask[:, None, :, None] & mask_l[..., None, :]
+            )
+            sim2 = masked_fill_neg(sim2, mask_l[..., None] & mask_l[..., None, :])
+            sim3 = masked_fill_neg(
+                sim3, mask_l[..., None] & mask[:, None, None, :]
+            )
+
+        attn1 = jax.nn.softmax(sim1, axis=-1)
+        attn2 = jax.nn.softmax(sim2, axis=-1)
+        attn3 = jax.nn.softmax(sim3, axis=-1)
+        attn2_inv = moore_penrose_pinv(attn2, iters)
+
+        out = (attn1 @ attn2_inv) @ (attn3 @ v)
+
+        if self.residual:
+            ksz = self.residual_conv_kernel
+            # depthwise conv over the token axis, one filter per head
+            # (reference Conv2d(heads, heads, (k,1), groups=heads, bias=False))
+            fan_in = ksz  # in_channels/groups * kh * kw
+            w = self.param(
+                "res_conv",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -1.0 / math.sqrt(fan_in), 1.0 / math.sqrt(fan_in)
+                ),
+                (h, 1, ksz, 1),
+            )
+            res = jax.lax.conv_general_dilated(
+                v.astype(jnp.float32),
+                w,
+                window_strides=(1, 1),
+                padding=((ksz // 2, ksz // 2), (0, 0)),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=h,
+            ).astype(out.dtype)
+            out = out + res
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n_pad, inner)
+        out = TorchLinear(self.dim, name="to_out")(out)
+        out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        out = out[:, -n:]
+
+        if return_attn:
+            attn = attn1 @ attn2_inv @ attn3
+            return out, attn
+        return out
+
+
+class PreNorm(nn.Module):
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        return self.fn(nn.LayerNorm(epsilon=1e-5)(x), **kwargs)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = TorchLinear(self.dim * self.mult)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+        return TorchLinear(self.dim)(x)
+
+
+class Nystromformer(nn.Module):
+    """Depth-stacked PreNorm(NystromAttention)+PreNorm(FF)
+    (reference ``attention.py:187-231``)."""
+
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    num_landmarks: int = 256
+    pinv_iterations: int = 6
+    attn_values_residual: bool = True
+    attn_values_residual_conv_kernel: int = 33
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        for _ in range(self.depth):
+            attn = PreNorm(
+                NystromAttention(
+                    dim=self.dim,
+                    dim_head=self.dim_head,
+                    heads=self.heads,
+                    num_landmarks=self.num_landmarks,
+                    pinv_iterations=self.pinv_iterations,
+                    residual=self.attn_values_residual,
+                    residual_conv_kernel=self.attn_values_residual_conv_kernel,
+                    dropout=self.attn_dropout,
+                )
+            )
+            ff = PreNorm(FeedForward(dim=self.dim, dropout=self.ff_dropout))
+            x = attn(x, mask=mask, deterministic=deterministic) + x
+            x = ff(x, deterministic=deterministic) + x
+        return x
+
+
+class TransLayer(nn.Module):
+    """``x + NystromAttention(LN(x))`` with heads=8, dim_head=dim/8,
+    landmarks=dim/2 — the standard block used by TransMIL / CMTA / UMEML
+    (reference ``ops/blocks.py:252-268``), plus mask support."""
+
+    dim: int = 512
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        y = nn.LayerNorm(epsilon=1e-5)(x)
+        y = NystromAttention(
+            dim=self.dim,
+            dim_head=self.dim // 8,
+            heads=8,
+            num_landmarks=self.dim // 2,
+            pinv_iterations=6,
+            residual=True,
+            dropout=self.dropout,
+        )(y, mask=mask, deterministic=deterministic)
+        return x + y

@@ -1,0 +1,94 @@
+"""Mesh / topology module — the TPU-native replacement for the reference's
+single-process ``nn.DataParallel`` (reference ``medmm/engine/trainer.py:483-486``).
+
+Design (scaling-book recipe): pick a Mesh, annotate shardings with
+NamedSharding, let XLA insert the collectives over ICI.  For this framework
+the natural layout is pure data parallelism over slides — every model is
+small (~10-20M params) while the batch of 10k-token bags is large, so params
+are replicated and the batch axis is sharded over the ``data`` mesh axis;
+gradient all-reduce rides ICI inside the jitted step.
+
+Multi-host pods: call :func:`maybe_initialize_distributed` before anything
+else; the data pipeline shards the global batch per-host via
+``host_local_slice``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize jax.distributed when launched on a multi-host pod."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    axes: Sequence[str] = ("data",),
+    shape: Sequence[int] = (-1,),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a Mesh over the available devices.
+
+    ``shape`` entries of -1 absorb all remaining devices (like a reshape).
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    shape = list(shape)
+    known = int(np.prod([s for s in shape if s != -1])) if shape else 1
+    n = len(devices)
+    if -1 in shape:
+        assert n % known == 0, f"{n} devices not divisible by {known}"
+        shape[shape.index(-1)] = n // known
+    total = int(np.prod(shape))
+    assert total <= n, f"mesh shape {shape} needs {total} devices, have {n}"
+    dev_array = np.asarray(devices[:total]).reshape(shape)
+    return Mesh(dev_array, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 (the slide/batch axis) over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch (pytree of np/jnp arrays) with dim-0 sharded.
+
+    Scalars and rank-0 leaves are replicated.
+    """
+    data_sharding = batch_sharding(mesh, axis)
+    repl = replicated(mesh)
+
+    def _put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, repl)
+        return jax.device_put(x, data_sharding)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    repl = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def host_local_slice(global_batch_size: int) -> Tuple[int, int]:
+    """(start, size) of this host's slice of the global batch (multi-host)."""
+    pc, pi = jax.process_count(), jax.process_index()
+    assert global_batch_size % pc == 0
+    per = global_batch_size // pc
+    return pi * per, per

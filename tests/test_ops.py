@@ -1,0 +1,218 @@
+"""Unit tests for the ops layer: pinv, Nyström-vs-dense equivalence on small
+N, masked == unpadded equivalence, modularity vs a naive numpy reference,
+greedy pairing vs a naive Python implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imp_tpu.ops import (
+    MultiheadAttention,
+    NystromAttention,
+    TransLayer,
+    moore_penrose_pinv,
+    compute_modularity,
+    cosine_similarity_matrix,
+    greedy_topk_pairs,
+    remove_indices_keep_order,
+    masked_attention_pool,
+)
+
+
+def test_moore_penrose_pinv_inverts_well_conditioned():
+    rng = np.random.default_rng(0)
+    # diagonally-dominant row-stochastic-ish matrix: well conditioned, so the
+    # Newton-Schulz iteration must converge to the true inverse
+    a = jax.nn.softmax(jnp.asarray(rng.normal(size=(2, 4, 16, 16))), axis=-1)
+    a = 0.5 * jnp.eye(16) + 0.5 * a
+    inv = moore_penrose_pinv(a, iters=12)
+    ident = a @ inv
+    eye = jnp.eye(16)
+    assert jnp.max(jnp.abs(ident - eye)) < 1e-3
+
+
+def test_nystrom_attention_mask_content_invariance():
+    """Outputs at valid positions must not depend on the *content* of masked
+    (padding) tokens.  (Note: Nyström is not invariant to the padded length
+    itself — the landmark grouping changes — which is why the data layer
+    always pads to one static length.)"""
+    rng = np.random.default_rng(1)
+    d, n_real, n_pad = 64, 40, 96
+    x_real = jnp.asarray(rng.normal(size=(1, n_real, d)), dtype=jnp.float32)
+    mask_pad = jnp.asarray([[True] * n_real + [False] * (n_pad - n_real)])
+
+    x_zeros = jnp.pad(x_real, ((0, 0), (0, n_pad - n_real), (0, 0)))
+    garbage = jnp.asarray(rng.normal(size=(1, n_pad - n_real, d)) * 100.0, jnp.float32)
+    x_garbage = jnp.concatenate([x_real, garbage], axis=1)
+
+    mod = NystromAttention(dim=d, dim_head=8, heads=8, num_landmarks=8, residual=True)
+    params = mod.init(jax.random.PRNGKey(0), x_zeros, mask=mask_pad)
+    out_zeros = mod.apply(params, x_zeros, mask=mask_pad)
+    out_garbage = mod.apply(params, x_garbage, mask=mask_pad)
+    np.testing.assert_allclose(
+        np.asarray(out_garbage[:, :n_real]),
+        np.asarray(out_zeros[:, :n_real]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_nystrom_attention_exact_when_landmarks_cover_tokens():
+    """With one landmark per token (l=1) Nyström reduces to
+    A·pinv(A)·A·v = A·v — must match dense attention."""
+    from imp_tpu.ops import dense_attention
+
+    rng = np.random.default_rng(8)
+    d, n = 64, 32
+    x = jnp.asarray(rng.normal(size=(1, n, d)), dtype=jnp.float32)
+    mod = NystromAttention(
+        dim=d, dim_head=8, heads=8, num_landmarks=n, pinv_iterations=12, residual=False
+    )
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(params, x)
+
+    # manual dense attention with the same projections
+    w_qkv = params["params"]["to_qkv"]["kernel"]
+    q, k, v = jnp.split(x @ w_qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(1, n, 8, 8).transpose(0, 2, 1, 3)
+
+    o, _, _ = dense_attention(split_heads(q), split_heads(k), split_heads(v))
+    o = o.transpose(0, 2, 1, 3).reshape(1, n, 64)
+    w_out = params["params"]["to_out"]["kernel"]
+    b_out = params["params"]["to_out"]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(o @ w_out + b_out), rtol=5e-2, atol=5e-3
+    )
+
+
+def test_translayer_shapes_and_mask():
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 14, 256)), jnp.float32)
+    layer = TransLayer(dim=256)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_mha_raw_weights_and_mask():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(2, 5, 32)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(2, 9, 32)), jnp.float32)
+    valid = jnp.asarray([[True] * 9, [True] * 4 + [False] * 5])
+    mod = MultiheadAttention(embed_dim=32, num_heads=4)
+    params = mod.init(jax.random.PRNGKey(0), q, kv, kv, key_valid=valid)
+    out, raw = mod.apply(params, q, kv, kv, key_valid=valid, need_raw=True)
+    assert out.shape == (2, 5, 32)
+    assert raw.shape == (2, 4, 5, 9)
+    # masked keys must carry -max raw score
+    assert np.all(np.asarray(raw)[1, :, :, 4:] < -1e30)
+
+    # masked == truncated computation
+    out_trunc, _ = mod.apply(params, q[1:], kv[1:, :4], kv[1:, :4])
+    np.testing.assert_allclose(
+        np.asarray(out[1]), np.asarray(out_trunc[0]), rtol=1e-5, atol=1e-5
+    )
+
+
+def _torch_modularity(c, x, temp=0.1):
+    """Naive numpy transcription of the reference math for one slide."""
+
+    def normalize(a, axis):
+        n = np.linalg.norm(a, axis=axis, keepdims=True)
+        return a / np.maximum(n, 1e-12)
+
+    x = np.asarray(x, np.float64)  # [N, D]
+    c = np.asarray(c, np.float64)  # [P, D]
+    nx = normalize(x, 1)
+    A = np.clip(nx @ nx.T, 0, None)
+    A = A - A * np.eye(A.shape[0])
+    d = A.sum(1, keepdims=True)
+    e = A.sum()
+    W = A - (d / e) @ (d.T / e) * e
+    nc = c / np.maximum(np.linalg.norm(c, axis=0, keepdims=True), 1e-12)  # over P
+    C = np.clip(nx @ nc.T, 0, None)  # [N, P]
+    E = np.tanh(np.einsum("np,mp->pnm", C, C) / temp)
+    delta = E.max(axis=0)
+    Q = (W / e) @ delta
+    return -np.trace(Q) * 100.0
+
+
+def test_modularity_matches_naive_and_mask_invariance():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 12, 16)).astype(np.float32)
+    c = rng.normal(size=(1, 3, 16)).astype(np.float32)
+    got = float(compute_modularity(jnp.asarray(c), jnp.asarray(x)))
+    want = _torch_modularity(c[0], x[0])
+    assert got == pytest.approx(want, rel=1e-4)
+
+    # padded + masked equals unpadded
+    x_pad = np.concatenate([x, rng.normal(size=(1, 5, 16)).astype(np.float32)], 1)
+    valid = jnp.asarray([[True] * 12 + [False] * 5])
+    got_masked = float(
+        compute_modularity(jnp.asarray(c), jnp.asarray(x_pad), valid=valid)
+    )
+    assert got_masked == pytest.approx(want, rel=1e-4)
+
+
+def _naive_greedy(sim, k):
+    sim = np.asarray(sim).copy()
+    order = np.argsort(sim, axis=None)[::-1]
+    sel_r, sel_c, pairs = set(), set(), []
+    for idx in order:
+        i, j = np.unravel_index(idx, sim.shape)
+        if i not in sel_r and j not in sel_c:
+            pairs.append((i, j))
+            sel_r.add(i)
+            sel_c.add(j)
+        if len(pairs) == k:
+            break
+    return pairs
+
+
+def test_greedy_topk_matches_reference_algorithm():
+    rng = np.random.default_rng(5)
+    sim = rng.normal(size=(3, 7, 7)).astype(np.float32)
+    rows, cols = greedy_topk_pairs(jnp.asarray(sim), k=3)
+    for b in range(3):
+        want = _naive_greedy(sim[b], 3)
+        got = list(zip(np.asarray(rows[b]).tolist(), np.asarray(cols[b]).tolist()))
+        assert got == want
+
+
+def test_remove_indices_keep_order():
+    tokens = jnp.arange(2 * 7 * 1, dtype=jnp.float32).reshape(2, 7, 1)
+    removed = jnp.asarray([[1, 4, 6], [0, 2, 3]])
+    kept = remove_indices_keep_order(tokens, removed)
+    np.testing.assert_array_equal(
+        np.asarray(kept[0, :, 0]), [0, 2, 3, 5]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kept[1, :, 0]), [7 + 1, 7 + 4, 7 + 5, 7 + 6]
+    )
+
+
+def test_cosine_similarity_matrix():
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=(2, 4, 8)).astype(np.float32)
+    b = rng.normal(size=(2, 5, 8)).astype(np.float32)
+    sim = np.asarray(cosine_similarity_matrix(jnp.asarray(a), jnp.asarray(b)))
+    for i in range(4):
+        for j in range(5):
+            want = np.dot(a[0, i], b[0, j]) / (
+                np.linalg.norm(a[0, i]) * np.linalg.norm(b[0, j])
+            )
+            assert sim[0, i, j] == pytest.approx(want, rel=1e-4)
+
+
+def test_masked_attention_pool():
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.normal(size=(2, 6, 8)), jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(2, 6, 1)), jnp.float32)
+    valid = jnp.asarray([[True] * 6, [True] * 3 + [False] * 3])
+    pooled, w = masked_attention_pool(scores, feats, valid)
+    assert pooled.shape == (2, 1, 8)
+    assert np.asarray(w)[1, 0, 3:].max() < 1e-6
+    assert np.asarray(w).sum(-1) == pytest.approx(np.ones((2, 1)), abs=1e-5)
