@@ -86,6 +86,7 @@ def get_cfg_default() -> CN:
     # ---------------- Dataloader --------------------------------------------
     _C.DATALOADER = CN()
     _C.DATALOADER.NUM_WORKERS = 4
+    _C.DATALOADER.CACHE = True  # in-memory bag cache (fits: bags are features)
     _C.DATALOADER.K_TRANSFORMS = 1
     _C.DATALOADER.RETURN_IMG0 = False
     _C.DATALOADER.TRAIN = CN()

@@ -1,0 +1,106 @@
+"""Data layer tests: synthetic tree -> real readers -> DataManager batches."""
+
+import numpy as np
+import pytest
+
+from imp_tpu.config import get_cfg_default
+from imp_tpu.data import DataManager, build_dataset, synthetic
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthdata"))
+    synthetic.materialize(root, num_slides=18, bag_min=16, bag_max=48, feat_dim=32,
+                          num_genes=120, group_size=15, seed=0)
+    return root
+
+
+def _cfg(synth_root, task="Survival", name="TCGA_Glioma_S_UMEML"):
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = synth_root
+    cfg.DATASET.NAME = name
+    cfg.DATASET.FEATURE_NAME = "features_clip_vit_b16"
+    cfg.DATASET.FOLD = 1
+    cfg.DATASET.BAG_PAD = 64
+    cfg.DATASET.PATH.DIM = 32
+    cfg.TASK.NAME = task
+    cfg.DATALOADER.TRAIN.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 4
+    cfg.SEED = 1
+    return cfg
+
+
+def test_dataset_reader_survival(synth_root):
+    cfg = _cfg(synth_root)
+    ds = build_dataset(cfg)
+    assert len(ds.train) > 0 and len(ds.test) > 0
+    assert ds.num_classes == 4
+    d = ds.train[0]
+    assert d.survival is not None and "survival_months" in d.survival
+    assert d.impath.endswith(".h5") and d.molpath.endswith(".csv")
+
+
+@pytest.mark.parametrize(
+    "name,task,ncls",
+    [
+        ("TCGA_Glioma_C_UMEML", "Classification", 6),
+        ("TCGA_Glioma_G", "Grading", 3),
+        ("TCGA_Glioma_Sub", "Subtyping", 3),
+    ],
+)
+def test_dataset_reader_other_tasks(synth_root, name, task, ncls):
+    cfg = _cfg(synth_root, task=task, name=name)
+    ds = build_dataset(cfg)
+    assert ds.num_classes == ncls
+
+
+def test_datamanager_batches(synth_root):
+    cfg = _cfg(synth_root)
+    dm = DataManager(cfg)
+    dm.show_summary()
+    batch = next(iter(dm.train_loader))
+    assert batch["img"].shape == (4, 64, 32)
+    assert batch["img_mask"].shape == (4, 64)
+    assert batch["img_mask"].dtype == bool
+    # padding beyond real length must be zero + masked
+    lengths = batch["img_mask"].sum(axis=1)
+    assert (lengths >= 16).all() and (lengths <= 48).all()
+    for i, n in enumerate(lengths):
+        assert np.all(batch["img"][i, n:] == 0.0)
+    assert batch["mol"].shape == (4, 120)
+    assert batch["survival_month"].shape == (4,)
+    assert len(batch["patient_id"]) == 4
+
+    # gene groups from signatures.csv: 6 groups of 15
+    assert dm.omic_sizes == [15] * 6
+    # omic means
+    means = dm.compute_omic_means()
+    assert means.shape == (120,)
+
+    # event/censorship aggregation
+    t, c = dm.train_set.get_event_and_censorship()
+    assert len(t) == len(dm.train_set)
+
+
+def test_loader_shuffling_is_seeded(synth_root):
+    cfg = _cfg(synth_root)
+    dm = DataManager(cfg)
+    dm.train_loader.set_epoch(0)
+    ids_a = [tuple(b["patient_id"]) for b in dm.train_loader]
+    dm.train_loader.set_epoch(0)
+    ids_b = [tuple(b["patient_id"]) for b in dm.train_loader]
+    assert ids_a == ids_b
+    dm.train_loader.set_epoch(1)
+    ids_c = [tuple(b["patient_id"]) for b in dm.train_loader]
+    assert ids_a != ids_c
+    # same set of samples either way
+    assert sorted(sum(map(list, ids_a), [])) == sorted(sum(map(list, ids_c), []))
+
+
+def test_bag_truncation_when_exceeding_pad(synth_root):
+    cfg = _cfg(synth_root)
+    cfg.DATASET.BAG_PAD = 20  # below bag_max=48
+    dm = DataManager(cfg)
+    batch = next(iter(dm.test_loader))
+    assert batch["img"].shape[1] == 20
+    assert batch["img_mask"].sum(axis=1).max() <= 20
