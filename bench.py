@@ -1,0 +1,192 @@
+"""Benchmark: UMEML_GAN survival training throughput (slides/sec) on the
+available accelerator, at the reference workload shape (bag padded to
+10,000 x 512-d features, hidden 256, 6 prototypes, batch 2 — reference
+``configs/Survival/UMEML_GAN.yaml`` + ``data_manager.py:387``).
+
+The timed region is the FULL jitted train step with the GAN phase on
+(encoder + generator/discriminator/main updates), i.e. the reference's
+hot loop #1 + #2 (SURVEY.md §3).
+
+Baseline protocol: the reference publishes no numbers (BASELINE.md), so the
+baseline is self-recorded — the first run writes ``bench_baseline.json`` and
+reports vs_baseline=1.0; subsequent runs report speedup relative to that
+recording. Prints ONE JSON line.
+"""
+
+import json
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np
+
+
+def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden=256):
+    import jax
+    import jax.numpy as jnp
+
+    from imp_tpu.config import get_cfg_default
+    from imp_tpu.engine.mbtrain import GEN_KEYS, DIS_KEYS, _merge, _take
+    from imp_tpu.losses import build_loss
+    from imp_tpu.models import build_model
+    from imp_tpu.models.umeml_gan import UMEML_GAN
+    from imp_tpu.optim import build_optimizer
+    import optax
+
+    cfg = get_cfg_default()
+    cfg.MODEL.NAME = "umeml_gan"
+    cfg.MODEL.HIDDEN_DIM = hidden
+    cfg.MODEL.FUSION = "concat"
+    cfg.MODEL.DROPOUT = 0.25
+    cfg.MODEL.UMEML.PROTOTYPES = 6
+    cfg.MODEL.UMEML.REGISTERS = 3
+    cfg.OPTIM.LR = 2e-4
+    cfg.OPTIM.WEIGHT_DECAY = 1e-4
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.MAX_EPOCH = 10
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(bag_pad // 3, bag_pad, size=batch_size)
+    lengths[-1] = bag_pad
+    batch = {
+        "img": jnp.asarray(rng.normal(size=(batch_size, bag_pad, feat_dim)), jnp.float32),
+        "img_mask": jnp.asarray(np.arange(bag_pad)[None, :] < lengths[:, None]),
+        "mol": jnp.asarray(rng.lognormal(size=(batch_size, num_genes)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 4, batch_size), jnp.int32),
+        "censorship": jnp.asarray(rng.integers(0, 2, batch_size), jnp.float32),
+        "without_omic": jnp.zeros((batch_size,), jnp.float32),
+        "insample_without_omic": jnp.zeros((batch_size, num_genes), jnp.int32),
+        "omic_means": jnp.ones((num_genes,), jnp.float32),
+    }
+    # reference gene-group sizes [82,330,513,440,1538,451] (umeml_gan.py:274)
+    sizes = [82, 330, 513, 440, 1538, 451]
+    starts = np.cumsum([0] + sizes)
+    groups = [list(range(starts[i], starts[i + 1])) for i in range(6)]
+
+    model = build_model("umeml_gan", cfg=cfg, num_classes=4, gene_group_indexes=groups)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "gan": jax.random.PRNGKey(2)},
+        batch, method="init_all",
+    )
+    main_keys = tuple(k for k in params["params"] if k not in DIS_KEYS)
+    main_tx = build_optimizer(cfg.OPTIM, updates_per_epoch=100)
+    gan_tx = optax.chain(
+        optax.add_decayed_weights(1e-4),
+        optax.scale_by_adam(eps=1e-8),
+        optax.scale_by_learning_rate(1e-4),
+    )
+    loss_obj = build_loss("nllsurvloss_new", alpha=0.0, reduction="mean")
+
+    state = {
+        "params": params,
+        "opt_state": main_tx.init(_take(params, main_keys)),
+        "gen_opt": gan_tx.init(_take(params, GEN_KEYS)),
+        "dis_p_opt": gan_tx.init(_take(params, ("gan_discriminator_p",))),
+        "dis_o_opt": gan_tx.init(_take(params, ("gan_discriminator_o",))),
+    }
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng, replace_ratio):
+        params = state["params"]
+        rng_d, rng_g = jax.random.split(rng)
+        enc = model.apply(params, batch, train=True, method=UMEML_GAN.encode,
+                          rngs={"dropout": rng_d})
+        h_path, h_omic = enc["h_path"], enc["h_omic"]
+        gen_sub = _take(params, GEN_KEYS)
+        gen_loss, gen_grads = jax.value_and_grad(
+            lambda s: model.apply(_merge(params, s), h_path, h_omic,
+                                  method=UMEML_GAN.gen_loss))(gen_sub)
+        gu, gen_opt = gan_tx.update(gen_grads, state["gen_opt"], gen_sub)
+        params = _merge(params, __import__("optax").apply_updates(gen_sub, gu))
+        import optax as _optax
+
+        dp_sub = _take(params, ("gan_discriminator_p",))
+        dpl, dpg = jax.value_and_grad(
+            lambda s: model.apply(_merge(params, s), h_path, h_omic,
+                                  method=UMEML_GAN.dis_p_loss))(dp_sub)
+        du, dis_p_opt = gan_tx.update(dpg, state["dis_p_opt"], dp_sub)
+        params = _merge(params, _optax.apply_updates(dp_sub, du))
+        do_sub = _take(params, ("gan_discriminator_o",))
+        dol, dog = jax.value_and_grad(
+            lambda s: model.apply(_merge(params, s), h_path, h_omic,
+                                  method=UMEML_GAN.dis_o_loss))(do_sub)
+        du2, dis_o_opt = gan_tx.update(dog, state["dis_o_opt"], do_sub)
+        params = _merge(params, _optax.apply_updates(do_sub, du2))
+
+        mg_sub = _take(params, main_keys)
+
+        def main_fn(sub):
+            out = model.apply(_merge(params, sub), batch, train=True,
+                              replace_ratio=replace_ratio,
+                              rngs={"dropout": rng_d, "gan": rng_g})
+            loss = (loss_obj(out["logits"], batch["label"], batch["censorship"])
+                    + out["modular_loss"] + out["loss_kd"])
+            return loss
+
+        loss, grads = jax.value_and_grad(main_fn)(mg_sub)
+        mu, opt_state = main_tx.update(grads, state["opt_state"], mg_sub)
+        params = _merge(params, _optax.apply_updates(mg_sub, mu))
+        return {
+            "params": params, "opt_state": opt_state, "gen_opt": gen_opt,
+            "dis_p_opt": dis_p_opt, "dis_o_opt": dis_o_opt,
+        }, loss
+
+    return train_step, state, batch
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    batch_size = 2
+    train_step, state, batch = build_step(batch_size=batch_size)
+
+    # warmup / compile
+    state, loss = train_step(state, batch, jax.random.PRNGKey(0), jnp.float32(0.1))
+    jax.block_until_ready(loss)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, loss = train_step(
+            state, batch, jax.random.PRNGKey(i + 1), jnp.float32(0.1)
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    slides_per_sec = batch_size * iters / dt
+
+    base_path = osp.join(osp.dirname(osp.abspath(__file__)), "bench_baseline.json")
+    if osp.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f)["slides_per_sec"]
+    else:
+        baseline = slides_per_sec
+        with open(base_path, "w") as f:
+            json.dump(
+                {
+                    "slides_per_sec": slides_per_sec,
+                    "note": "self-recorded r1 baseline (reference publishes no numbers)",
+                    "device": str(jax.devices()[0]),
+                },
+                f,
+            )
+    print(
+        json.dumps(
+            {
+                "metric": "umeml_gan_train_slides_per_sec_bag10k",
+                "value": round(slides_per_sec, 3),
+                "unit": "slides/sec",
+                "vs_baseline": round(slides_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

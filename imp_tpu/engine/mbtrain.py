@@ -1,0 +1,645 @@
+"""MBTRAIN — the trainer for UMEML / UMEML_GAN
+(reference ``medmm/engine/mbtrain.py`` + the curriculum hardcoded into
+``TrainerBase.train``, ref ``engine/trainer.py:280-305``, and the CCA epoch,
+ref ``:672-739``).
+
+TPU-native design decisions:
+
+* the reference's three ``backward()+step()`` calls *inside* ``forward()``
+  (ref ``umeml_gan.py:461-490``) become gradient computations over the
+  generator/discriminator parameter partitions inside ONE jitted,
+  donated-buffer train step; sequencing is faithful — the encoder output is
+  computed once (same dropout rng reused), the generator is updated first,
+  the discriminators see the *updated* generator, and the main loss runs
+  with the updated generator params;
+* the main optimizer covers all non-discriminator params (reference: main
+  Adam over ``model.parameters()``, but torch skips params whose grads are
+  None — discriminators never receive main-loss grads).  Coupled L2 decay is
+  masked off the generator subtree (torch applies it only on steps where the
+  replace path produced generator grads; see builders.build_optimizer);
+* the GAN/CCA curriculum is a declarative config (TRAIN.CURRICULUM) instead
+  of being baked into the base loop;
+* the CCA epoch accumulates ≤64 batches then optimizes
+  ``cca_loss + mean(batch_loss)`` with a *fresh* Adam(1e-3) per epoch
+  (ref ``trainer.py:682``); the gradient through the accumulated graph is
+  computed exactly via a two-pass linearization (values first, then
+  per-chunk VJPs with the cca-loss cotangents) instead of holding 64 graphs
+  in memory;
+* prototype-importance rows stream to ``{split}_{path,omic}.txt`` from the
+  host (ref writes them inside forward, ``umeml_gan.py:575-587``).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import TRAINER_REGISTRY
+from .trainer import ARRAY_KEYS, TrainerBase, device_batch, make_task_loss
+from ..losses import cca_loss as cca_loss_fn
+from ..losses import similarity_alignment_loss
+from ..models import build_model
+from ..models.nets import survival_num_classes
+from ..models.umeml_gan import UMEML_GAN
+from ..optim import build_optimizer
+from ..parallel import replicate_tree
+from ..utils import AverageMeter, MetricMeter
+
+GEN_KEYS = ("gan_generator_p2o", "gan_generator_o2p")
+DIS_KEYS = ("gan_discriminator_p", "gan_discriminator_o")
+
+
+def _take(params: Dict, keys) -> Dict:
+    return {"params": {k: params["params"][k] for k in keys}}
+
+
+def _merge(params: Dict, sub: Dict) -> Dict:
+    merged = dict(params["params"])
+    merged.update(sub["params"])
+    return {"params": merged}
+
+
+def get_omic_delete_mask(batch_size, num_features, ratio, seed=None):
+    """Deterministic per-batch omics-deletion mask (ref ``mbtrain.py:270-279``)."""
+    rng = np.random.RandomState(seed)
+    mask = np.zeros((batch_size, num_features), dtype=np.int32)
+    num_selected = int(num_features * max(ratio, 0.0))
+    for i in range(batch_size):
+        sel = rng.choice(num_features, num_selected, replace=False)
+        mask[i, sel] = 1
+    return mask
+
+
+@TRAINER_REGISTRY.register()
+class MBTRAIN(TrainerBase):
+    """Trainer for the UMEML family."""
+
+    def check_cfg(self, cfg):
+        assert cfg.MODEL.NAME in ("umeml", "umeml_gan")
+
+    # ------------------------------------------------------------------ #
+    # model / optimizers / jitted steps                                   #
+    # ------------------------------------------------------------------ #
+    def build_model(self):
+        cfg = self.cfg
+        self.is_gan = cfg.MODEL.NAME == "umeml_gan"
+        num_classes = survival_num_classes(cfg.TASK.NAME, self.num_classes)
+        self.model = build_model(
+            cfg.MODEL.NAME,
+            cfg=cfg,
+            num_classes=num_classes,
+            gene_group_indexes=self.dm.gene_group_indexes or (),
+        )
+        self.omic_means = self.dm.compute_omic_means()
+
+        sample = next(iter(self.test_loader))
+        init_batch = self._host_batch(sample, train=True)
+        init_batch = {k: jnp.asarray(v[:1]) if hasattr(v, "shape") and np.ndim(v) > 0 and k != "omic_means" else jnp.asarray(v) for k, v in init_batch.items()}
+        rngs = {
+            "params": self.next_rng(),
+            "dropout": self.next_rng(),
+            "gan": self.next_rng(),
+        }
+        if self.is_gan:
+            params = self.model.init(rngs, init_batch, method=UMEML_GAN.init_all)
+        else:
+            params = self.model.init(rngs, init_batch, train=True)
+        params = replicate_tree(params, self.mesh)
+
+        updates_per_epoch = max(1, len(self.train_loader))
+        if self.is_gan:
+            main_keys = tuple(
+                k for k in params["params"].keys() if k not in DIS_KEYS
+            )
+            self.main_keys = main_keys
+
+            def decay_mask(sub):
+                return {
+                    "params": {
+                        k: jax.tree_util.tree_map(
+                            lambda _: k not in GEN_KEYS, v
+                        )
+                        for k, v in sub["params"].items()
+                    }
+                }
+
+            self.main_tx = build_optimizer(
+                cfg.OPTIM, updates_per_epoch, decay_mask=decay_mask
+            )
+            gan_lr = float(cfg.MODEL.UMEML.GAN_LR)
+            gan_wd = float(cfg.MODEL.UMEML.GAN_WD)
+            gan_tx = optax.chain(
+                optax.add_decayed_weights(gan_wd),
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                optax.scale_by_learning_rate(gan_lr),
+            )
+            self.gen_tx = gan_tx
+            self.dis_p_tx = gan_tx
+            self.dis_o_tx = gan_tx
+            state = {
+                "params": params,
+                "opt_state": self.main_tx.init(_take(params, main_keys)),
+                "gen_opt": gan_tx.init(_take(params, GEN_KEYS)),
+                "dis_p_opt": gan_tx.init(_take(params, ("gan_discriminator_p",))),
+                "dis_o_opt": gan_tx.init(_take(params, ("gan_discriminator_o",))),
+            }
+        else:
+            self.main_tx = build_optimizer(cfg.OPTIM, updates_per_epoch)
+            state = {"params": params, "opt_state": self.main_tx.init(params)}
+        self.state = jax.device_put(state)
+        self._build_steps()
+
+    def _build_steps(self):
+        model, task_loss = self.model, self.task_loss
+        main_tx = self.main_tx
+        is_gan = self.is_gan
+
+        if not is_gan:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def train_step(state, batch, rng):
+                def loss_fn(p):
+                    out = model.apply(p, batch, train=True, rngs={"dropout": rng})
+                    loss = task_loss(out["logits"], batch) + out["modular_loss"]
+                    return loss, out
+
+                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state["params"]
+                )
+                updates, opt_state = main_tx.update(
+                    grads, state["opt_state"], state["params"]
+                )
+                params = optax.apply_updates(state["params"], updates)
+                return {"params": params, "opt_state": opt_state}, {"loss": loss}
+
+            @jax.jit
+            def eval_step(params, batch):
+                out = model.apply(params, batch, train=False)
+                return out["logits"], None, None
+
+            self._train_steps = {False: train_step, True: train_step}
+            self._eval_step = eval_step
+            return
+
+        gen_tx, dis_p_tx, dis_o_tx = self.gen_tx, self.dis_p_tx, self.dis_o_tx
+        main_keys = self.main_keys
+
+        def _make(train_gan: bool):
+            @partial(jax.jit, donate_argnums=(0,))
+            def train_step(state, batch, rng, replace_ratio):
+                params = state["params"]
+                rng_d, rng_g = jax.random.split(rng)
+                metrics = {}
+                gen_opt, dis_p_opt, dis_o_opt = (
+                    state["gen_opt"],
+                    state["dis_p_opt"],
+                    state["dis_o_opt"],
+                )
+                if train_gan:
+                    # ---- GAN phase: same dropout rng as the main phase so
+                    # the encoder output is the one forward pass of the ref
+                    enc = model.apply(
+                        params,
+                        batch,
+                        train=True,
+                        method=UMEML_GAN.encode,
+                        rngs={"dropout": rng_d},
+                    )
+                    h_path, h_omic = enc["h_path"], enc["h_omic"]
+
+                    gen_sub = _take(params, GEN_KEYS)
+                    gen_loss, gen_grads = jax.value_and_grad(
+                        lambda s: model.apply(
+                            _merge(params, s), h_path, h_omic,
+                            method=UMEML_GAN.gen_loss,
+                        )
+                    )(gen_sub)
+                    gu, gen_opt = gen_tx.update(gen_grads, gen_opt, gen_sub)
+                    params = _merge(params, optax.apply_updates(gen_sub, gu))
+
+                    dp_sub = _take(params, ("gan_discriminator_p",))
+                    dp_loss, dp_grads = jax.value_and_grad(
+                        lambda s: model.apply(
+                            _merge(params, s), h_path, h_omic,
+                            method=UMEML_GAN.dis_p_loss,
+                        )
+                    )(dp_sub)
+                    du, dis_p_opt = dis_p_tx.update(dp_grads, dis_p_opt, dp_sub)
+                    params = _merge(params, optax.apply_updates(dp_sub, du))
+
+                    do_sub = _take(params, ("gan_discriminator_o",))
+                    do_loss, do_grads = jax.value_and_grad(
+                        lambda s: model.apply(
+                            _merge(params, s), h_path, h_omic,
+                            method=UMEML_GAN.dis_o_loss,
+                        )
+                    )(do_sub)
+                    du2, dis_o_opt = dis_o_tx.update(do_grads, dis_o_opt, do_sub)
+                    params = _merge(params, optax.apply_updates(do_sub, du2))
+                    metrics.update(
+                        loss_gen=gen_loss, loss_dis_p=dp_loss, loss_dis_o=do_loss
+                    )
+
+                # ---- main phase (updated generator params)
+                mg_sub = _take(params, main_keys)
+
+                def main_fn(sub):
+                    out = model.apply(
+                        _merge(params, sub),
+                        batch,
+                        train=True,
+                        replace_ratio=replace_ratio,
+                        rngs={"dropout": rng_d, "gan": rng_g},
+                    )
+                    loss = (
+                        task_loss(out["logits"], batch)
+                        + out["modular_loss"]
+                        + out["loss_kd"]
+                    )
+                    return loss, out
+
+                (loss, out), grads = jax.value_and_grad(main_fn, has_aux=True)(
+                    mg_sub
+                )
+                mu, opt_state = main_tx.update(grads, state["opt_state"], mg_sub)
+                params = _merge(params, optax.apply_updates(mg_sub, mu))
+                metrics["loss"] = loss
+                new_state = {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "gen_opt": gen_opt,
+                    "dis_p_opt": dis_p_opt,
+                    "dis_o_opt": dis_o_opt,
+                }
+                return new_state, metrics, (
+                    out["importance_path"],
+                    out["importance_omic"],
+                )
+
+            return train_step
+
+        self._train_steps = {False: _make(False), True: _make(True)}
+
+        @jax.jit
+        def eval_step(params, batch):
+            out = model.apply(params, batch, train=False)
+            return out["logits"], out["importance_path"], out["importance_omic"]
+
+        self._eval_step = eval_step
+
+        # ---- CCA epoch pieces ------------------------------------------
+        @jax.jit
+        def cca_values(params, batch, rng):
+            out = model.apply(
+                params, batch, train=True, cca=True, rngs={"dropout": rng}
+            )
+            b = out["h_path"].shape[0]
+            hp = out["h_path"].reshape(b, -1)
+            ho = out["h_omic"].reshape(b, -1)
+            sim = similarity_alignment_loss(
+                out["p_proto_before"].reshape(b, -1),
+                out["h_omic_bag_before"].reshape(b, -1),
+            )
+            return hp, ho, sim
+
+        @jax.jit
+        def cca_cotangents(hp_all, ho_all):
+            val, grads = jax.value_and_grad(
+                lambda hp, ho: cca_loss_fn(hp, ho), argnums=(0, 1)
+            )(hp_all, ho_all)
+            return val, grads
+
+        def _chunk_surrogate(sub, fixed_params, batch, rng, g_hp, g_ho, w_sim):
+            out = model.apply(
+                _merge(fixed_params, sub),
+                batch,
+                train=True,
+                cca=True,
+                rngs={"dropout": rng},
+            )
+            b = out["h_path"].shape[0]
+            hp = out["h_path"].reshape(b, -1)
+            ho = out["h_omic"].reshape(b, -1)
+            sim = similarity_alignment_loss(
+                out["p_proto_before"].reshape(b, -1),
+                out["h_omic_bag_before"].reshape(b, -1),
+            )
+            return jnp.sum(hp * g_hp) + jnp.sum(ho * g_ho) + w_sim * sim
+
+        @jax.jit
+        def cca_chunk_grads(params, batch, rng, g_hp, g_ho, w_sim):
+            sub = _take(params, main_keys)
+            return jax.grad(_chunk_surrogate)(
+                sub, params, batch, rng, g_hp, g_ho, w_sim
+            )
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def cca_apply(params, cca_opt_state, grad_sum, tx_placeholder=None):
+            sub = _take(params, main_keys)
+            updates, cca_opt_state = self.cca_tx.update(grad_sum, cca_opt_state, sub)
+            params = _merge(params, optax.apply_updates(sub, updates))
+            return params, cca_opt_state
+
+        self._cca_values = cca_values
+        self._cca_cotangents = cca_cotangents
+        self._cca_chunk_grads = cca_chunk_grads
+        self._cca_apply = cca_apply
+        self.cca_tx = optax.adam(float(self.cfg.TRAIN.CURRICULUM.CCA_LR))
+
+    # ------------------------------------------------------------------ #
+    # batch preparation                                                    #
+    # ------------------------------------------------------------------ #
+    def _host_batch(
+        self,
+        batch: Dict,
+        train: bool,
+        without_omic: Optional[np.ndarray] = None,
+        insample_mask: Optional[np.ndarray] = None,
+    ) -> Dict:
+        out = {k: v for k, v in batch.items() if k in ARRAY_KEYS}
+        b = out["img"].shape[0]
+        g = out["mol"].shape[1]
+        out["without_omic"] = (
+            without_omic if without_omic is not None else np.zeros((b,), np.float32)
+        )
+        out["insample_without_omic"] = (
+            insample_mask
+            if insample_mask is not None
+            else np.zeros((b, g), np.int32)
+        )
+        out["omic_means"] = np.asarray(self.omic_means, np.float32)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # training loop with curriculum                                        #
+    # ------------------------------------------------------------------ #
+    def train(
+        self,
+        umeml_gan_test_without_omic_ratio: float = -1,
+        umeml_gan_test_insample_without_omic_ratio: float = 0,
+    ):
+        self._test_without_ratio = umeml_gan_test_without_omic_ratio
+        self._test_insample_ratio = umeml_gan_test_insample_without_omic_ratio
+        cur = self.cfg.TRAIN.CURRICULUM
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            if not self.is_gan or not cur.ENABLE:
+                self.run_epoch(train_gan=False, replace_ratio=0.0)
+            elif self.epoch < cur.GAN_START_EPOCH:
+                self.run_epoch(train_gan=False, replace_ratio=0.0)
+            elif self.epoch < cur.REPLACE_START_EPOCH:
+                self.run_epoch(train_gan=True, replace_ratio=0.0)
+            else:
+                rs = cur.REPLACE_START_EPOCH
+                ratio = (self.epoch + 1 - rs) / (self.max_epoch + 1 - rs) / 2
+                self.run_epoch(train_gan=True, replace_ratio=ratio)
+            if (
+                self.is_gan
+                and cur.ENABLE
+                and cur.CCA_EVERY_EPOCH
+                and self.epoch < self.max_epoch - 1
+            ):
+                self.run_epoch_cca()
+            self.after_epoch()
+        return self.after_train()
+
+    def run_epoch(self, train_gan: bool = False, replace_ratio: float = 0.0):
+        import time as _time
+
+        # truncate importance dumps (ref trainer.py:617-618)
+        self._imp_files = {}
+        for mod in ("path", "omic"):
+            fp = osp.join(self.output_dir, f"train_{mod}.txt")
+            open(fp, "w").close()
+            self._imp_files[mod] = fp
+
+        losses = MetricMeter()
+        batch_time = AverageMeter()
+        num_batches = len(self.train_loader)
+        n_slides = 0
+        step = self._train_steps[bool(train_gan)]
+        end = _time.time()
+        for batch_idx, batch in enumerate(self.train_loader):
+            db = device_batch(self._host_batch(batch, train=True), self.mesh)
+            if self.is_gan:
+                self.state, metrics, (imp_p, imp_o) = step(
+                    self.state, db, self.next_rng(), jnp.float32(replace_ratio)
+                )
+                self._dump_importance("train", imp_p, imp_o)
+            else:
+                self.state, metrics = step(self.state, db, self.next_rng())
+            metrics = {k: float(v) for k, v in metrics.items()}
+            if not np.isfinite(metrics["loss"]):
+                raise FloatingPointError("Loss is infinite or NaN!")
+            losses.update(metrics)
+            n_slides += len(batch["patient_id"])
+            batch_time.update(_time.time() - end)
+
+            if (batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0 or (
+                num_batches < self.cfg.TRAIN.PRINT_FREQ
+            ):
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                    f"batch [{batch_idx + 1}/{num_batches}] "
+                    f"time {batch_time.val:.3f} ({batch_time.avg:.3f}) "
+                    f"{losses} lr {self.get_current_lr():.4e} "
+                    f"gan={train_gan} rr={replace_ratio:.3f}"
+                )
+            n_iter = self.epoch * num_batches + batch_idx
+            for name, meter in losses.meters.items():
+                self.writer.write_scalar("train/" + name, meter.avg, n_iter)
+            end = _time.time()
+        self.writer.write_scalar(
+            "train/slides_per_sec", n_slides / max(batch_time.sum, 1e-9), self.epoch
+        )
+        self._plot_importance()
+
+    def run_epoch_cca(self):
+        """CCA alignment epoch (ref ``trainer.py:672-739``), exact chunked
+        gradients, fresh Adam per epoch."""
+        cur = self.cfg.TRAIN.CURRICULUM
+        threshold = int(cur.CCA_ACCUM_BATCHES)
+        cca_opt_state = self.cca_tx.init(_take(self.state["params"], self.main_keys))
+        num_batches = len(self.train_loader)
+
+        group: List = []
+        for batch_idx, batch in enumerate(self.train_loader):
+            db = device_batch(self._host_batch(batch, train=True), self.mesh)
+            rng = self.next_rng()
+            hp, ho, sim = self._cca_values(self.state["params"], db, rng)
+            group.append((db, rng, hp, ho, sim))
+            if batch_idx == num_batches - 1 or len(group) == threshold:
+                hp_all = jnp.concatenate([g[2] for g in group], axis=0)
+                ho_all = jnp.concatenate([g[3] for g in group], axis=0)
+                cca_val, (g_hp, g_ho) = self._cca_cotangents(hp_all, ho_all)
+                batch_loss = jnp.mean(jnp.stack([g[4] for g in group]))
+                w_sim = 1.0 / len(group)
+                grad_sum = None
+                offset = 0
+                for db_i, rng_i, hp_i, _, _ in group:
+                    b = hp_i.shape[0]
+                    gi = self._cca_chunk_grads(
+                        self.state["params"],
+                        db_i,
+                        rng_i,
+                        g_hp[offset : offset + b],
+                        g_ho[offset : offset + b],
+                        jnp.float32(w_sim),
+                    )
+                    offset += b
+                    grad_sum = (
+                        gi
+                        if grad_sum is None
+                        else jax.tree_util.tree_map(jnp.add, grad_sum, gi)
+                    )
+                params, cca_opt_state = self._cca_apply(
+                    self.state["params"], cca_opt_state, grad_sum
+                )
+                self.state["params"] = params
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}] CCA "
+                    f"batch [{batch_idx + 1}/{num_batches}] "
+                    f"cca_loss {float(cca_val):.4f} batch_loss {float(batch_loss):.4f}"
+                )
+                self.writer.write_scalar(
+                    "train/cca_loss", float(cca_val), self.epoch * num_batches + batch_idx
+                )
+                group = []
+
+    # ------------------------------------------------------------------ #
+    # evaluation with omics-ablation knobs                                 #
+    # ------------------------------------------------------------------ #
+    def after_epoch(self):
+        # route the omics-ablation ratios into test (ref after_epoch)
+        self._eval_ratios = (
+            getattr(self, "_test_without_ratio", 0),
+            getattr(self, "_test_insample_ratio", 0),
+        )
+        super().after_epoch()
+
+    def test(
+        self,
+        split: Optional[str] = None,
+        umeml_gan_test_without_omic_ratio: Optional[float] = None,
+        umeml_gan_test_insample_without_omic_ratio: Optional[float] = None,
+        **kwargs,
+    ) -> float:
+        without_ratio, insample_ratio = getattr(self, "_eval_ratios", (0, 0))
+        if umeml_gan_test_without_omic_ratio is not None:
+            without_ratio = umeml_gan_test_without_omic_ratio
+        if umeml_gan_test_insample_without_omic_ratio is not None:
+            insample_ratio = umeml_gan_test_insample_without_omic_ratio
+        without_ratio = max(float(without_ratio), 0.0)
+        insample_ratio = max(float(insample_ratio), 0.0)
+
+        self.evaluator.reset()
+        if split is None:
+            split = self.cfg.TEST.SPLIT
+        if split == "val" and self.val_loader is not None:
+            loader = self.val_loader
+        else:
+            split = "test"
+            loader = self.test_loader
+
+        # sample-level omics removal, seed 42 (ref mbtrain.py:303-310)
+        num_samples = len(loader.dataset)
+        num_selected = int(num_samples * without_ratio)
+        indexes_without = np.random.RandomState(42).choice(
+            num_samples, num_selected, replace=False
+        )
+
+        self._imp_files = {}
+        for mod in ("path", "omic"):
+            fp = osp.join(self.output_dir, f"{split}_{mod}.txt")
+            open(fp, "w").close()
+            self._imp_files[mod] = fp
+
+        print(f"Evaluate on the *{split}* set")
+        batch_start = 0
+        for batch_index, batch in enumerate(loader):
+            b = batch["img"].shape[0]
+            without = np.isin(
+                np.arange(batch_start, batch_start + b), indexes_without
+            ).astype(np.float32)
+            batch_start += b
+            seed = (10000 if split == "val" else 20000) + batch_index
+            insample = get_omic_delete_mask(
+                b, batch["mol"].shape[1], insample_ratio, seed=seed
+            )
+            hb = self._host_batch(
+                batch, train=False, without_omic=without, insample_mask=insample
+            )
+            db = device_batch(hb, self.mesh)
+            logits, imp_p, imp_o = self._eval_step(self.state["params"], db)
+            if imp_p is not None:
+                self._dump_importance(split, imp_p, imp_o)
+            self.process_eval_batch(np.asarray(logits), batch)
+
+        results = self.evaluator.evaluate()
+        for k, v in results.items():
+            if self.writer:
+                self.writer.write_scalar(f"{split}/{k}", v, self.epoch)
+        return list(results.values())[0]
+
+    def eval_logits(self, batch, split, batch_index):  # pragma: no cover
+        raise NotImplementedError("MBTRAIN overrides test() directly")
+
+    # ------------------------------------------------------------------ #
+    # interpretability dumps                                               #
+    # ------------------------------------------------------------------ #
+    def _dump_importance(self, split: str, imp_path, imp_omic):
+        files = getattr(self, "_imp_files", None)
+        if not files:
+            return
+        for mod, arr in (("path", imp_path), ("omic", imp_omic)):
+            arr = np.asarray(arr)
+            with open(files[mod], "a") as f:
+                for row in arr:
+                    f.write(" ".join(str(float(x)) for x in row) + "\n")
+
+    def _plot_importance(self):
+        """Render the epoch's importance matrices to PNGs
+        (ref ``trainer.py:27-44``); skipped when matplotlib is absent."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        for mod, fp in getattr(self, "_imp_files", {}).items():
+            try:
+                data = np.loadtxt(fp)
+            except Exception:
+                continue
+            if data.size == 0:
+                continue
+            data = np.atleast_2d(data)
+            fig = plt.figure(figsize=(data.shape[1] / 10, max(data.shape[0], 1) / 10))
+            ax = fig.add_axes([0, 0, 1, 1])
+            ax.imshow(data, cmap="Blues", aspect="auto", interpolation="nearest")
+            ax.axis("off")
+            fig.savefig(fp.replace(".txt", ".png"), dpi=100)
+            plt.close(fig)
+
+    # ------------------------------------------------------------------ #
+    # state                                                                #
+    # ------------------------------------------------------------------ #
+    def state_dict(self):
+        return {
+            "state": self.state,
+            "epoch": self.epoch + 1,
+            "val_result": float(self.best_result)
+            if np.isfinite(self.best_result)
+            else -1.0,
+        }
+
+    def load_state_dict(self, state):
+        self.state = jax.device_put(state["state"])

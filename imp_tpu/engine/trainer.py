@@ -1,0 +1,453 @@
+"""Trainer engine.
+
+TPU-native replacement for the reference's Dassl trainer hierarchy
+(``medmm/engine/trainer.py``): a single donated-buffer ``jax.jit`` train
+step over a data-parallel Mesh instead of per-batch ``loss.backward()`` +
+``nn.DataParallel``; checkpointing with the same best/last semantics;
+the same epoch loop / val-selection / logging protocol (including the
+``* metric: X%`` log lines ``tools/parse_test_res.py`` scrapes).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os.path as osp
+import time
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import CfgNode
+from ..data import DataManager
+from ..evaluation import build_evaluator
+from ..losses import build_loss, hazards_to_survival
+from ..optim import build_optimizer, lr_at_epoch
+from ..parallel import make_mesh, replicate_tree, shard_batch
+from ..utils import AverageMeter, MetricMeter, MetricWriter, mkdir_if_missing
+from ..utils.checkpoint import (
+    best_checkpoint_path,
+    load_checkpoint,
+    resume_from_checkpoint,
+    save_checkpoint,
+)
+
+ARRAY_KEYS = (
+    "img",
+    "img_mask",
+    "mol",
+    "label",
+    "survival_month",
+    "censorship",
+    "without_omic",
+    "insample_without_omic",
+    "omic_means",
+)
+
+
+def device_batch(batch: Dict, mesh) -> Dict:
+    """Ship array fields to the mesh (dim 0 sharded over 'data'); keep host
+    fields (patient_id, index) on host."""
+    arrays = {k: v for k, v in batch.items() if k in ARRAY_KEYS}
+    return shard_batch(arrays, mesh)
+
+
+def make_task_loss(cfg) -> Callable:
+    """Loss glue: TASK.NAME + TASK.LOSS -> callable(logits, batch) -> loss.
+
+    Mirrors the per-engine dispatch (ref ``mbtrain.py:167-189``,
+    ``mcat.py:165-172``).
+    """
+    task = cfg.TASK.NAME
+    name = cfg.TASK.LOSS
+    alpha = float(cfg.LOSS.ALPHA)
+    reduction = cfg.LOSS.REDUCTION
+    if task != "Survival":
+        loss_obj = build_loss("celoss")
+        return lambda logits, batch: loss_obj(logits, batch["label"])
+    if name == "nllsurvloss_new":
+        loss_obj = build_loss(name, alpha=alpha, reduction=reduction)
+        return lambda logits, batch: loss_obj(
+            logits, batch["label"], batch["censorship"]
+        )
+    if name in ("nllsurvloss", "cesurvloss"):
+        loss_obj = build_loss(name)
+
+        def fn(logits, batch):
+            hazards = jax.nn.sigmoid(logits)
+            S = hazards_to_survival(hazards)
+            return loss_obj(hazards, S, batch["label"], batch["censorship"])
+
+        return fn
+    if name == "coxsurvloss":
+        loss_obj = build_loss(name)
+        return lambda logits, batch: loss_obj(
+            logits[:, :1], batch["survival_month"], batch["censorship"]
+        )
+    raise ValueError(f"Unknown TASK.LOSS: {name}")
+
+
+class TrainerBase:
+    """Shared scaffolding: data, evaluator, mesh, logging, checkpoints."""
+
+    def __init__(self, cfg: CfgNode):
+        self.cfg = cfg
+        self.check_cfg(cfg)
+        if cfg.TPU.DEBUG_NANS:
+            jax.config.update("jax_debug_nans", True)
+        # persistent compilation cache: first compiles of the step variants
+        # are expensive; subsequent runs (5-fold sweeps!) reuse them
+        try:
+            import os
+
+            cache_dir = os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/imp_tpu_jax_cache"
+            )
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
+
+        self.start_epoch = self.epoch = 0
+        self.max_epoch = cfg.OPTIM.MAX_EPOCH
+        self.output_dir = cfg.OUTPUT_DIR
+        mkdir_if_missing(self.output_dir)
+
+        self.mesh = make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
+        self.dm = DataManager(cfg)
+        self.train_loader = self.dm.train_loader
+        self.val_loader = self.dm.val_loader
+        self.test_loader = self.dm.test_loader
+        self.num_classes = self.dm.num_classes
+        self.lab2cname = self.dm.lab2cname
+        if cfg.VERBOSE:
+            self.dm.show_summary()
+
+        # survival baseline for IPCW (ref trainer.py:383-399)
+        if cfg.TASK.NAME == "Survival":
+            tr_t, tr_c = self.dm.train_set.get_event_and_censorship()
+            if self.dm.val_set is not None:
+                va_t, va_c = self.dm.val_set.get_event_and_censorship()
+            else:
+                va_t, va_c = np.empty(0), np.empty(0)
+            all_c = np.concatenate([tr_c, va_c], axis=0)
+            all_t = np.concatenate([tr_t, va_t], axis=0)
+            self.all_survival = ((1 - all_c).astype(bool), all_t)
+            self.evaluator = build_evaluator(
+                cfg, all_survival=self.all_survival, bins=None
+            )
+        else:
+            self.all_survival = None
+            self.evaluator = build_evaluator(cfg, lab2cname=self.lab2cname)
+
+        self.rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+        self.best_result = -np.inf
+        self.writer: Optional[MetricWriter] = None
+        self.time_start = None
+
+        self.task_loss = make_task_loss(cfg)
+        self.build_model()
+
+    # -- to be provided by subclasses ---------------------------------------
+    def check_cfg(self, cfg):
+        pass
+
+    def build_model(self):
+        raise NotImplementedError
+
+    def train_step(self, batch: Dict) -> Dict:
+        raise NotImplementedError
+
+    def eval_logits(self, batch: Dict, split: str, batch_index: int) -> np.ndarray:
+        raise NotImplementedError
+
+    # -- state management -----------------------------------------------------
+    def state_dict(self) -> Dict:
+        raise NotImplementedError
+
+    def load_state_dict(self, state: Dict) -> None:
+        raise NotImplementedError
+
+    def next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # -- generic loops ---------------------------------------------------------
+    def train(self, *args, **kwargs):
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        return self.after_train()
+
+    def before_train(self):
+        directory = self.cfg.RESUME or self.output_dir
+        state, epoch = resume_from_checkpoint(
+            osp.join(directory, "model"), self.state_dict()
+        )
+        if epoch > 0:
+            self.load_state_dict(state)
+            self.start_epoch = epoch
+        self.writer = MetricWriter(osp.join(self.output_dir, "tensorboard"))
+        self.time_start = time.time()
+        if self.cfg.TPU.PROFILE_DIR:
+            jax.profiler.start_trace(self.cfg.TPU.PROFILE_DIR)
+
+    def before_epoch(self):
+        self.train_loader.set_epoch(self.epoch)
+
+    def run_epoch(self):
+        losses = MetricMeter()
+        batch_time = AverageMeter()
+        data_time = AverageMeter()
+        num_batches = len(self.train_loader)
+        n_slides = 0
+        end = time.time()
+        for batch_idx, batch in enumerate(self.train_loader):
+            data_time.update(time.time() - end)
+            summary = self.train_step(batch)
+            batch_time.update(time.time() - end)
+            losses.update(summary)
+            n_slides += len(batch["patient_id"])
+
+            meet_freq = (batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
+            if meet_freq or num_batches < self.cfg.TRAIN.PRINT_FREQ:
+                nb_remain = (num_batches - batch_idx - 1) + (
+                    self.max_epoch - self.epoch - 1
+                ) * num_batches
+                eta = str(datetime.timedelta(seconds=int(batch_time.avg * nb_remain)))
+                info = [
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}]",
+                    f"batch [{batch_idx + 1}/{num_batches}]",
+                    f"time {batch_time.val:.3f} ({batch_time.avg:.3f})",
+                    f"data {data_time.val:.3f} ({data_time.avg:.3f})",
+                    f"{losses}",
+                    f"lr {self.get_current_lr():.4e}",
+                    f"eta {eta}",
+                ]
+                print(" ".join(info))
+            n_iter = self.epoch * num_batches + batch_idx
+            for name, meter in losses.meters.items():
+                self.writer.write_scalar("train/" + name, meter.avg, n_iter)
+            self.writer.write_scalar("train/lr", self.get_current_lr(), n_iter)
+            end = time.time()
+        dt = max(batch_time.sum, 1e-9)
+        self.writer.write_scalar("train/slides_per_sec", n_slides / dt, self.epoch)
+
+    def after_epoch(self):
+        last_epoch = (self.epoch + 1) == self.max_epoch
+        do_test = not self.cfg.TEST.NO_TEST
+        meet_freq = (
+            (self.epoch + 1) % self.cfg.TRAIN.CHECKPOINT_FREQ == 0
+            if self.cfg.TRAIN.CHECKPOINT_FREQ > 0
+            else False
+        )
+        if do_test:
+            curr = self.test(split="val")
+            if self.cfg.TEST.FINAL_MODEL == "best_val" and curr > self.best_result:
+                self.best_result = curr
+                save_checkpoint(
+                    self.state_dict(),
+                    osp.join(self.output_dir, "model"),
+                    self.epoch + 1,
+                    is_best=True,
+                    model_name="model-best.ckpt",
+                )
+        if meet_freq or last_epoch:
+            save_checkpoint(
+                self.state_dict(), osp.join(self.output_dir, "model"), self.epoch + 1
+            )
+
+    def after_train(self):
+        print("Finish training")
+        result = None
+        if not self.cfg.TEST.NO_TEST:
+            if self.cfg.TEST.FINAL_MODEL == "best_val":
+                print("Deploy the model with the best val performance")
+                best = best_checkpoint_path(osp.join(self.output_dir, "model"))
+                if best:
+                    self.load_state_dict(load_checkpoint(best, self.state_dict()))
+            else:
+                print("Deploy the last-epoch model")
+            result = self.test()
+        if self.cfg.TPU.PROFILE_DIR:
+            jax.profiler.stop_trace()
+        elapsed = round(time.time() - self.time_start)
+        print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
+        if self.writer:
+            self.writer.close()
+        return result
+
+    def test(self, split: Optional[str] = None, **kwargs) -> float:
+        self.evaluator.reset()
+        if split is None:
+            split = self.cfg.TEST.SPLIT
+        if split == "val" and self.val_loader is not None:
+            loader = self.val_loader
+        else:
+            split = "test"
+            loader = self.test_loader
+        print(f"Evaluate on the *{split}* set")
+        for batch_index, batch in enumerate(loader):
+            logits = self.eval_logits(batch, split, batch_index)
+            self.process_eval_batch(logits, batch)
+        results = self.evaluator.evaluate()
+        for k, v in results.items():
+            if self.writer:
+                self.writer.write_scalar(f"{split}/{k}", v, self.epoch)
+        return list(results.values())[0]
+
+    def process_eval_batch(self, logits: np.ndarray, batch: Dict) -> None:
+        if self.cfg.TASK.NAME == "Survival":
+            ev = type(self.evaluator).__name__
+            if ev == "Survival_UMEML":
+                self.evaluator.process(
+                    batch["patient_id"], logits, batch["censorship"],
+                    batch["survival_month"],
+                )
+            else:
+                hazards = 1.0 / (1.0 + np.exp(-np.asarray(logits, np.float64)))
+                S = np.cumprod(1.0 - hazards, axis=1)
+                self.evaluator.process(S, batch["censorship"], batch["survival_month"])
+        else:
+            self.evaluator.process(logits, batch["label"])
+
+    def get_current_lr(self) -> float:
+        return lr_at_epoch(self.cfg.OPTIM, self.epoch)
+
+    def load_model(self, directory: Optional[str] = None, epoch: Optional[int] = None):
+        """Load for eval (reference ``trainer.py:210-239``)."""
+        directory = directory or self.output_dir
+        mdir = osp.join(directory, "model")
+        if epoch is not None:
+            path = osp.join(mdir, f"model.ckpt-{epoch}")
+        else:
+            path = best_checkpoint_path(mdir)
+            if path is None:
+                pointer = osp.join(mdir, "checkpoint")
+                with open(pointer) as f:
+                    path = osp.join(mdir, f.read().strip())
+        self.load_state_dict(load_checkpoint(path, self.state_dict()))
+        print(f"Loaded model weights from {path}")
+
+
+class StandardTrainer(TrainerBase):
+    """Generic single-optimizer trainer for nets with signature
+    ``apply(params, batch, train) -> logits`` — covers the MIL / genomic /
+    fusion baseline engines (ref ``engine/{abmil,transmil,snn,snnm,mcat,...}``).
+    """
+
+    #: subclasses set this: callable(cfg, dm, num_classes) -> nn.Module
+    def build_network(self):
+        raise NotImplementedError
+
+    def extra_loss(self, out, batch):
+        """Hook for auxiliary losses (e.g. CMTA's alignment terms)."""
+        return 0.0
+
+    def network_num_classes(self):
+        from ..models.nets import survival_num_classes
+
+        return survival_num_classes(self.cfg.TASK.NAME, self.num_classes)
+
+    def build_model(self):
+        cfg = self.cfg
+        self.model = self.build_network()
+        sample = next(iter(self.test_loader))
+        init_batch = {
+            k: jnp.asarray(v[:1]) for k, v in sample.items() if k in ARRAY_KEYS
+        }
+        variables = self.model.init(
+            {"params": self.next_rng(), "dropout": self.next_rng()},
+            init_batch,
+            train=True,
+        )
+        variables = dict(variables)
+        self.model_state = {
+            k: v for k, v in variables.items() if k != "params"
+        }  # e.g. batch_stats (HFB's BatchNorm)
+        params = {"params": variables["params"]}
+        self.params = replicate_tree(params, self.mesh)
+        self.model_state = replicate_tree(self.model_state, self.mesh)
+
+        updates_per_epoch = max(
+            1, -(-len(self.train_loader) // max(1, cfg.OPTIM.GRAD_ACCUM))
+        )
+        tx = build_optimizer(cfg.OPTIM, updates_per_epoch)
+        if cfg.OPTIM.GRAD_ACCUM > 1:
+            tx = optax.MultiSteps(tx, cfg.OPTIM.GRAD_ACCUM)
+        self.tx = tx
+        self.opt_state = replicate_tree(tx.init(params), self.mesh)
+
+        model, task_loss, extra_loss = self.model, self.task_loss, self.extra_loss
+        mutable_keys = sorted(self.model_state.keys())
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def _train_step(params, model_state, opt_state, batch, rng):
+            def loss_fn(p):
+                if mutable_keys:
+                    out, new_state = model.apply(
+                        {**p, **model_state},
+                        batch,
+                        train=True,
+                        rngs={"dropout": rng},
+                        mutable=mutable_keys,
+                    )
+                else:
+                    out = model.apply(
+                        {**p, **model_state}, batch, train=True, rngs={"dropout": rng}
+                    )
+                    new_state = model_state
+                logits = out["logits"] if isinstance(out, dict) else out
+                loss = task_loss(logits, batch)
+                loss = loss + extra_loss(out, batch)
+                return loss, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, dict(new_state), opt_state, loss
+
+        @jax.jit
+        def _eval_step(params, model_state, batch):
+            out = model.apply({**params, **model_state}, batch, train=False)
+            return out["logits"] if isinstance(out, dict) else out
+
+        self._train_step = _train_step
+        self._eval_step = _eval_step
+
+    def train_step(self, batch: Dict) -> Dict:
+        db = device_batch(batch, self.mesh)
+        self.params, self.model_state, self.opt_state, loss = self._train_step(
+            self.params, self.model_state, self.opt_state, db, self.next_rng()
+        )
+        loss = float(loss)
+        if not np.isfinite(loss):
+            raise FloatingPointError("Loss is infinite or NaN!")
+        return {"loss": loss}
+
+    def eval_logits(self, batch, split, batch_index):
+        db = device_batch(batch, self.mesh)
+        return np.asarray(self._eval_step(self.params, self.model_state, db))
+
+    def state_dict(self):
+        return {
+            "params": self.params,
+            "model_state": self.model_state,
+            "opt_state": self.opt_state,
+            "epoch": self.epoch + 1,
+            "val_result": float(self.best_result)
+            if np.isfinite(self.best_result)
+            else -1.0,
+        }
+
+    def load_state_dict(self, state):
+        self.params = replicate_tree(state["params"], self.mesh)
+        self.model_state = replicate_tree(state.get("model_state", {}), self.mesh)
+        self.opt_state = replicate_tree(state["opt_state"], self.mesh)

@@ -1,0 +1,89 @@
+"""Model zoo registries (reference ``medmm/modeling/__init__.py``: 6
+registries + builders, same config names)."""
+
+from ..utils.registry import Registry
+
+MODEL_REGISTRY = Registry("MODEL")
+FUSION_REGISTRY = Registry("FUSION")
+MIL_REGISTRY = Registry("MIL")
+BACKBONE_REGISTRY = Registry("BACKBONE")
+HEAD_REGISTRY = Registry("HEAD")
+
+from .umeml import UMEML
+from .umeml_gan import UMEML_GAN
+from .mil import ABMIL_MODULE, TransMIL_MODULE
+from .backbone import SNN, SNN_M
+
+
+@MODEL_REGISTRY.register_as("umeml")
+def umeml(cfg=None, num_classes=0, **kwargs):
+    return UMEML(
+        num_classes=num_classes,
+        hidden=cfg.MODEL.HIDDEN_DIM,
+        n_proto=cfg.MODEL.UMEML.PROTOTYPES,
+        n_reg=cfg.MODEL.UMEML.REGISTERS,
+        dropout=cfg.MODEL.DROPOUT,
+        fusion=cfg.MODEL.FUSION,
+    )
+
+
+@MODEL_REGISTRY.register_as("umeml_gan")
+def umeml_gan(cfg=None, num_classes=0, gene_group_indexes=(), **kwargs):
+    proto_initializer = None
+    if cfg.MODEL.UMEML.PROTO_INIT == "plip":
+        from .prototypes import plip_prototype_init
+
+        proto_initializer = plip_prototype_init(
+            cfg, cfg.MODEL.UMEML.PROTOTYPES, cfg.MODEL.HIDDEN_DIM
+        )
+    return UMEML_GAN(
+        num_classes=num_classes,
+        gene_group_indexes=tuple(tuple(g) for g in gene_group_indexes),
+        hidden=cfg.MODEL.HIDDEN_DIM,
+        n_proto=cfg.MODEL.UMEML.PROTOTYPES,
+        n_reg=cfg.MODEL.UMEML.REGISTERS,
+        dropout_rate=cfg.MODEL.DROPOUT,
+        fusion=cfg.MODEL.FUSION,
+        lambda_cyc=float(cfg.MODEL.UMEML.LAMBDA_CYC),
+        topk=cfg.MODEL.UMEML.TOPK,
+        kd_t=float(cfg.MODEL.UMEML.KD_T),
+        proto_initializer=proto_initializer,
+    )
+
+
+@MIL_REGISTRY.register_as("abmil")
+def abmil(path_input_dim=512, model_size_wsi="small", dropout=0.25, **kwargs):
+    return ABMIL_MODULE(
+        path_input_dim=path_input_dim, model_size_wsi=model_size_wsi, dropout=dropout
+    )
+
+
+@MIL_REGISTRY.register_as("transmil")
+def transmil(path_input_dim=512, **kwargs):
+    return TransMIL_MODULE(path_input_dim=path_input_dim)
+
+
+@BACKBONE_REGISTRY.register_as("snn")
+def snn(num_mol=1000, dropout=0.1, model_size_omic="small", **kwargs):
+    return SNN(num_mol=num_mol, dropout=dropout, model_size_omic=model_size_omic)
+
+
+@BACKBONE_REGISTRY.register_as("snnm")
+def snnm(num_mol=50, dropout=0.1, model_size_omic="small", **kwargs):
+    return SNN_M(num_mol=num_mol, dropout=dropout, model_size_omic=model_size_omic)
+
+
+def build_model(name, **kwargs):
+    return MODEL_REGISTRY.get(name)(**kwargs)
+
+
+def build_fusion(name, **kwargs):
+    return FUSION_REGISTRY.get(name)(**kwargs)
+
+
+def build_mil(name, **kwargs):
+    return MIL_REGISTRY.get(name)(**kwargs)
+
+
+def build_backbone(name, **kwargs):
+    return BACKBONE_REGISTRY.get(name)(**kwargs)

@@ -67,10 +67,13 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """
     data_sharding = batch_sharding(mesh, axis)
     repl = replicated(mesh)
+    n_shards = mesh.shape[axis]
 
     def _put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
+        # ragged batches (last batch of an epoch, tiny tests) fall back to
+        # replication — correct, just not parallel for that batch
+        if x.ndim == 0 or x.shape[0] % n_shards != 0:
             return jax.device_put(x, repl)
         return jax.device_put(x, data_sharding)
 

@@ -1,0 +1,70 @@
+"""Checkpoint IO with the reference's best/last/pointer semantics
+(reference ``medmm/utils/torchtools.py:27-157``): per-model directory under
+OUTPUT_DIR containing ``model.ckpt-<epoch>`` files, a ``checkpoint`` pointer
+text file naming the latest, and ``model-best.ckpt`` when val improves.
+
+Serialization is flax msgpack over the full train-state pytree (params +
+all optimizer states + epoch + val_result).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Any, Optional, Tuple
+
+from flax import serialization
+
+from .logger import mkdir_if_missing
+
+
+def save_checkpoint(
+    state: Any,
+    directory: str,
+    epoch: int,
+    is_best: bool = False,
+    model_name: str = "",
+) -> str:
+    mkdir_if_missing(directory)
+    if not model_name:
+        model_name = f"model.ckpt-{epoch}"
+    fpath = osp.join(directory, model_name)
+    with open(fpath, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    with open(osp.join(directory, "checkpoint"), "w") as f:
+        f.write(osp.basename(fpath))
+    if is_best:
+        best = osp.join(directory, "model-best.ckpt")
+        with open(best, "wb") as f:
+            f.write(serialization.to_bytes(state))
+    print(f'Checkpoint saved to "{fpath}"')
+    return fpath
+
+
+def load_checkpoint(fpath: str, target: Any) -> Any:
+    """Restore into the structure of ``target`` (a template pytree)."""
+    if not osp.exists(fpath):
+        raise FileNotFoundError(f'File is not found at "{fpath}"')
+    with open(fpath, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def resume_from_checkpoint(directory: str, target: Any) -> Tuple[Any, int]:
+    """Resume from the ``checkpoint`` pointer file; returns (state, epoch)
+    where epoch is 0 when nothing is found (train from scratch)."""
+    pointer = osp.join(directory, "checkpoint")
+    if not osp.exists(pointer):
+        print("No checkpoint found, train from scratch")
+        return target, 0
+    with open(pointer, "r") as f:
+        name = f.read().strip()
+    fpath = osp.join(directory, name)
+    state = load_checkpoint(fpath, target)
+    epoch = int(state["epoch"]) if isinstance(state, dict) and "epoch" in state else 0
+    print(f'Loaded checkpoint from "{fpath}" (resume at epoch {epoch})')
+    return state, epoch
+
+
+def best_checkpoint_path(directory: str) -> Optional[str]:
+    best = osp.join(directory, "model-best.ckpt")
+    return best if osp.exists(best) else None

@@ -77,6 +77,8 @@ class MetricWriter:
             self._tb = None
 
     def write_scalar(self, tag: str, value, step: Optional[int] = None) -> None:
+        if self._jsonl.closed:  # writes after close (e.g. post-training test)
+            return
         rec = {"tag": tag, "value": float(value), "step": step, "ts": time.time()}
         self._jsonl.write(json.dumps(rec) + "\n")
         if self._tb is not None:

@@ -1,0 +1,125 @@
+"""End-to-end training-loop integration tests on the synthetic dataset
+(SURVEY.md §4(c)): data -> model -> jitted step -> eval -> checkpoint."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from imp_tpu.config import get_cfg_default
+from imp_tpu.data import synthetic
+from imp_tpu.engine import build_trainer
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("traindata"))
+    synthetic.materialize(
+        root, num_slides=24, bag_min=24, bag_max=48, feat_dim=32,
+        num_genes=120, group_size=15, seed=0,
+    )
+    return root
+
+
+def _cfg(synth_root, tmp_path, trainer, model_name=None, task="Survival",
+         dataset="TCGA_Glioma_S_UMEML", epochs=2):
+    cfg = get_cfg_default()
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.DATASET.ROOT = synth_root
+    cfg.DATASET.NAME = dataset
+    cfg.DATASET.FEATURE_NAME = "features_clip_vit_b16"
+    cfg.DATASET.FOLD = 1
+    cfg.DATASET.BAG_PAD = 64
+    cfg.DATASET.PATH.DIM = 32
+    cfg.TASK.NAME = task
+    cfg.TASK.LOSS = "nllsurvloss_new" if task == "Survival" else "celoss"
+    cfg.TEST.EVALUATOR = "Survival_UMEML" if task == "Survival" else "Classification"
+    cfg.TEST.FINAL_MODEL = "best_val"
+    cfg.DATALOADER.TRAIN.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 4
+    cfg.OPTIM.MAX_EPOCH = epochs
+    cfg.OPTIM.LR = 2e-4
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.TRAIN.PRINT_FREQ = 100
+    cfg.TRAINER.NAME = trainer
+    if model_name:
+        cfg.MODEL.NAME = model_name
+    cfg.MODEL.HIDDEN_DIM = 64
+    cfg.MODEL.FUSION = "concat"
+    cfg.MODEL.UMEML.PROTOTYPES = 6
+    cfg.MODEL.UMEML.REGISTERS = 3
+    cfg.TPU.PREFETCH = 0
+    return cfg
+
+
+def test_abmil_survival_end_to_end(synth_root, tmp_path):
+    cfg = _cfg(synth_root, tmp_path, "ABMIL", task="Survival")
+    cfg.TEST.EVALUATOR = "Survival"
+    cfg.TASK.LOSS = "nllsurvloss"
+    trainer = build_trainer(cfg)
+    result = trainer.train()
+    assert result is not None and np.isfinite(result)
+    # checkpoints with pointer + best exist
+    assert osp.exists(osp.join(cfg.OUTPUT_DIR, "model", "checkpoint"))
+    assert osp.exists(osp.join(cfg.OUTPUT_DIR, "model", "model-best.ckpt"))
+
+
+def test_abmil_resume(synth_root, tmp_path):
+    cfg = _cfg(synth_root, tmp_path, "ABMIL", task="Survival", epochs=2)
+    cfg.TEST.EVALUATOR = "Survival"
+    cfg.TASK.LOSS = "nllsurvloss"
+    trainer = build_trainer(cfg)
+    trainer.train()
+    # resume: a new trainer picks up at epoch 2 == max -> no epochs run
+    cfg2 = cfg.clone()
+    trainer2 = build_trainer(cfg2)
+    trainer2.train()
+    assert trainer2.start_epoch == 2
+
+
+def test_snn_grading_end_to_end(synth_root, tmp_path):
+    cfg = _cfg(
+        synth_root, tmp_path, "SNN", task="Grading", dataset="TCGA_Glioma_G", epochs=2
+    )
+    trainer = build_trainer(cfg)
+    result = trainer.train()
+    assert np.isfinite(result)
+
+
+def test_mbtrain_umeml_gan_survival(synth_root, tmp_path):
+    cfg = _cfg(
+        synth_root, tmp_path, "MBTRAIN", model_name="umeml_gan", task="Survival",
+        epochs=3,
+    )
+    # tiny curriculum: GAN from epoch 1, replacement from epoch 2, CCA on
+    cfg.TRAIN.CURRICULUM.GAN_START_EPOCH = 1
+    cfg.TRAIN.CURRICULUM.REPLACE_START_EPOCH = 2
+    cfg.TRAIN.CURRICULUM.CCA_ACCUM_BATCHES = 3
+    trainer = build_trainer(cfg)
+    result = trainer.train()
+    assert np.isfinite(result)
+    # importance dumps written with one row per eval sample, 6 prototypes
+    imp = np.loadtxt(osp.join(cfg.OUTPUT_DIR, "test_path.txt"))
+    assert imp.shape[1] == 6
+    assert imp.shape[0] == len(trainer.test_loader.dataset)
+    assert (imp >= 0.5 - 1e-6).all() and (imp <= 1.0 + 1e-6).all()
+
+
+def test_mbtrain_eval_omics_ablation(synth_root, tmp_path):
+    cfg = _cfg(
+        synth_root, tmp_path, "MBTRAIN", model_name="umeml_gan", task="Survival",
+        epochs=1,
+    )
+    cfg.TRAIN.CURRICULUM.ENABLE = False
+    cfg.TEST.NO_TEST = True
+    trainer = build_trainer(cfg)
+    trainer.train()
+    # full omics removal must still produce finite metrics (GAN imputation)
+    r = trainer.test(split="test", umeml_gan_test_without_omic_ratio=1.0)
+    assert np.isfinite(r)
+    r2 = trainer.test(
+        split="test", umeml_gan_test_insample_without_omic_ratio=0.5
+    )
+    assert np.isfinite(r2)

@@ -1,0 +1,149 @@
+"""Offline WSI patch -> CLIP feature extraction, batched and jitted.
+
+Replaces reference ``tools/clip_feature.py:24-68`` (which encodes ONE patch
+per ``encode_image`` call, serially over slides — its #1 throughput
+bottleneck) with a batched jit pipeline: fixed-size image batches stream
+through the flax ViT on the accelerator while the host thread decodes the
+next batch; per-slide features are written to ``.h5`` under the same key
+(``clip_vit_b32_feature``).
+
+Usage:
+    python tools/clip_feature.py --src PATCH_ROOT --dst FEATURE_DIR \
+        --checkpoint ViT-B-32.pt [--model ViT-B/32] [--batch-size 256]
+
+``--random-weights`` runs without a checkpoint (throughput testing).
+"""
+
+import argparse
+import os
+import os.path as osp
+import sys
+import threading
+import queue
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+import numpy as np
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
+
+
+def preprocess(path: str, size: int) -> np.ndarray:
+    """resize(shorter=size, bicubic) -> center crop -> normalize
+    (the reference uses clip.load()'s preprocess with the same steps)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    scale = size / min(w, h)
+    img = img.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+    w, h = img.size
+    left, top = (w - size) // 2, (h - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - CLIP_MEAN) / CLIP_STD
+
+
+def load_checkpoint_params(path: str, model_name: str):
+    import torch
+
+    from imp_tpu.models.clip import convert_torch_clip_state
+
+    try:
+        state = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        state = torch.jit.load(path, map_location="cpu").state_dict()
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    vparams, _ = convert_torch_clip_state(state, name=model_name)
+    return vparams
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", required=True, help="root dir of per-slide patch dirs")
+    ap.add_argument("--dst", required=True, help="output h5 dir")
+    ap.add_argument("--model", default="ViT-B/32")
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--random-weights", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--key", default="clip_vit_b32_feature")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from imp_tpu.models.clip import CLIP_CONFIGS, build_vision_tower
+
+    model = build_vision_tower(args.model)
+    size = CLIP_CONFIGS[args.model]["image_resolution"]
+    if args.checkpoint:
+        params = load_checkpoint_params(args.checkpoint, args.model)
+    elif args.random_weights:
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32)
+        )
+    else:
+        raise SystemExit("Provide --checkpoint or --random-weights")
+
+    encode = jax.jit(lambda p, x: model.apply(p, x))
+
+    os.makedirs(args.dst, exist_ok=True)
+    slides = sorted(
+        d for d in os.listdir(args.src) if osp.isdir(osp.join(args.src, d))
+    )
+    bs = args.batch_size
+    total_patches, t_start = 0, time.perf_counter()
+    for slide in slides:
+        out_path = osp.join(args.dst, slide + ".h5")
+        if osp.exists(out_path):
+            print(f"skip {slide} (exists)")
+            continue
+        sdir = osp.join(args.src, slide)
+        patches = sorted(
+            f for f in os.listdir(sdir) if f.lower().endswith(IMG_EXTS)
+        )
+        if not patches:
+            continue
+
+        # host decode thread keeps the accelerator fed
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def producer():
+            for s in range(0, len(patches), bs):
+                chunk = patches[s : s + bs]
+                arr = np.stack(
+                    [preprocess(osp.join(sdir, p), size) for p in chunk]
+                )
+                if len(chunk) < bs:  # pad to the static batch
+                    arr = np.pad(arr, ((0, bs - len(chunk)), (0, 0), (0, 0), (0, 0)))
+                q.put((arr, len(chunk)))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        feats = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            arr, n = item
+            out = encode(params, jnp.asarray(arr))
+            feats.append(np.asarray(out[:n]))
+        t.join()
+        feats = np.concatenate(feats, axis=0)
+        import h5py
+
+        with h5py.File(out_path, "w") as f:
+            f.create_dataset(args.key, data=feats)
+        total_patches += len(patches)
+        rate = total_patches / (time.perf_counter() - t_start)
+        print(f"{slide}: {len(patches)} patches -> {out_path}  ({rate:.1f} patches/s)")
+
+
+if __name__ == "__main__":
+    main()
