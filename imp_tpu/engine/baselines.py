@@ -52,3 +52,28 @@ class SNNM(StandardTrainer):
             dropout=cfg.MODEL.DROPOUT,
             model_size_omic=cfg.MODEL.SIZE,
         )
+
+
+@TRAINER_REGISTRY.register()
+class CLIPOMIC(StandardTrainer):
+    """CLIP-text-encoder omics baseline (reference ``engine/clipomic.py``)."""
+
+    def build_network(self):
+        cfg = self.cfg
+        from flax import linen as nn
+        from ..models.clipomic import CLIPOMIC as CLIPOMIC_MODULE
+        from ..ops.attention import TorchLinear
+
+        num_classes = self.network_num_classes()
+        backbone = CLIPOMIC_MODULE(
+            num_mol=5, len_mol=200, model_size_omic=cfg.MODEL.SIZE,
+            dropout=cfg.MODEL.DROPOUT,
+        )
+
+        class CLIPOMIC_NET(nn.Module):
+            @nn.compact
+            def __call__(self, batch, train: bool = False):
+                f = backbone(batch["mol"], deterministic=not train)
+                return TorchLinear(num_classes, name="classifier")(f)
+
+        return CLIPOMIC_NET()

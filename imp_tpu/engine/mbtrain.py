@@ -591,6 +591,64 @@ class MBTRAIN(TrainerBase):
     def eval_logits(self, batch, split, batch_index):  # pragma: no cover
         raise NotImplementedError("MBTRAIN overrides test() directly")
 
+    def test_new(
+        self,
+        cfg=None,
+        split: str = "test",
+        umeml_gan_test_without_omic_ratio: float = 0,
+        umeml_gan_test_insample_without_omic_ratio: float = 0,
+        **kwargs,
+    ) -> float:
+        """External-cohort (CPTAC) evaluation
+        (reference ``mbtrain.py:379-489`` + ``dataset_new.py``)."""
+        from ..data.external import build_test_new
+
+        without_ratio = max(float(umeml_gan_test_without_omic_ratio), 0.0)
+        insample_ratio = max(float(umeml_gan_test_insample_without_omic_ratio), 0.0)
+        _, loader = build_test_new(self.cfg, omic_dim=self.dm.omic_dim)
+        self.evaluator.reset()
+
+        num_samples = len(loader.dataset)
+        num_selected = int(num_samples * without_ratio)
+        indexes_without = np.random.RandomState(42).choice(
+            num_samples, num_selected, replace=False
+        )
+
+        self._imp_files = {}
+        for mod in ("path", "omic"):
+            fp = osp.join(self.output_dir, f"test_new_{mod}.txt")
+            open(fp, "w").close()
+            self._imp_files[mod] = fp
+
+        print(f"Evaluate on the *external test* set ({num_samples} samples)")
+        batch_start = 0
+        for batch_index, batch in enumerate(loader):
+            b = batch["img"].shape[0]
+            ratio_without = np.isin(
+                np.arange(batch_start, batch_start + b), indexes_without
+            ).astype(np.float32)
+            # samples with missing omics always use the generator
+            without = np.maximum(ratio_without, batch["without_omic"])
+            batch_start += b
+            seed = 20000 + batch_index
+            insample = get_omic_delete_mask(
+                b, batch["mol"].shape[1], insample_ratio, seed=seed
+            )
+            hb = self._host_batch(
+                batch, train=False, without_omic=without, insample_mask=insample
+            )
+            db = device_batch(hb, self.mesh)
+            logits, imp_p, imp_o = self._eval_step(self.state["params"], db)
+            if imp_p is not None:
+                self._dump_importance("test_new", imp_p, imp_o)
+            self.process_eval_batch(np.asarray(logits), batch)
+
+        results = self.evaluator.evaluate()
+        for k, v in results.items():
+            if self.writer:
+                self.writer.write_scalar(f"test_new/{k}", v, self.epoch)
+        return list(results.values())[0]
+
     # ------------------------------------------------------------------ #
     # interpretability dumps                                               #
     # ------------------------------------------------------------------ #

@@ -73,6 +73,16 @@ def snnm(num_mol=50, dropout=0.1, model_size_omic="small", **kwargs):
     return SNN_M(num_mol=num_mol, dropout=dropout, model_size_omic=model_size_omic)
 
 
+@BACKBONE_REGISTRY.register_as("clipomic")
+def clipomic(num_mol=5, len_mol=200, model_size_omic="small", dropout=0.25, **kwargs):
+    from .clipomic import CLIPOMIC
+
+    return CLIPOMIC(
+        num_mol=num_mol, len_mol=len_mol, model_size_omic=model_size_omic,
+        dropout=dropout,
+    )
+
+
 def build_model(name, **kwargs):
     return MODEL_REGISTRY.get(name)(**kwargs)
 

@@ -1,0 +1,170 @@
+"""Labeler golden parity vs the reference tools/label_gen.py, survival
+binning parity, result-parser drive, and the external (CPTAC-style) test
+path."""
+
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from reference_shim import load_ref_module
+
+from imp_tpu.data.labeling import (
+    diag_grading,
+    diag_grading4,
+    diag_grading6,
+    diag_subtyping,
+    survival_bins,
+)
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def ref_labels():
+    return load_ref_module("tools/label_gen.py", "ref_label_gen")
+
+
+def _input_grid():
+    for IDH in ("WT", "Mutant"):
+        for p19q in ("codel", "non-codel"):
+            for His in ("glioblastoma", "astrocytoma"):
+                for CDKN in ("-1", "-2", "0"):
+                    for Grade in ("G2", "G3"):
+                        yield IDH, p19q, His, CDKN, Grade
+
+
+def test_labelers_match_reference(ref_labels):
+    pairs = [
+        (diag_grading, ref_labels.Diag_Grading),
+        (diag_subtyping, ref_labels.Diag_Subtyping),
+        (diag_grading6, ref_labels.Diag_Grading6),
+        (diag_grading4, ref_labels.Diag_Grading4),
+    ]
+    for args in _input_grid():
+        for mine, ref in pairs:
+            assert mine(*args) == ref(*args), (mine.__name__, args)
+
+
+def test_survival_bins_match_reference(ref_labels):
+    rng = np.random.default_rng(0)
+    n = 80
+    df = pd.DataFrame(
+        {
+            "bcr_patient_barcode": [f"TCGA-{i:04d}" for i in range(n)],
+            "OS.time": rng.integers(30, 3000, n).astype(float),
+            "OS": rng.integers(0, 2, n),
+        }
+    )
+    # NOTE: under pandas>=3 the reference's `df['OS'].replace(inplace=True)`
+    # (label_gen.py:183) is a silent no-op (copy-on-write), so we pre-flip
+    # the event column for the oracle call; our implementation keeps the
+    # intended pandas-1.x semantics (censorship = 1 - OS).
+    df_ref = df.copy()
+    df_ref["OS"] = df_ref["OS"].replace({0: 1, 1: 0})
+    want = ref_labels.Survival_T(df_ref)
+    got = survival_bins(df.copy())
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
+def test_parse_test_res_cli(tmp_path):
+    # two fake per-seed runs with the scraped format
+    for seed, val in (("seed1", 71.23), ("seed2", 75.77)):
+        d = tmp_path / "exp" / seed
+        d.mkdir(parents=True)
+        (d / "log.txt").write_text(
+            "stuff\nFinish training\n=> result\n* cindex: %.2f%%\n" % val
+        )
+    out = subprocess.run(
+        [
+            sys.executable,
+            osp.join(REPO, "tools", "parse_test_res.py"),
+            str(tmp_path / "exp"),
+            "--keyword",
+            "cindex",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    assert "* cindex: 73.50%" in out
+
+
+def test_external_test_new(tmp_path):
+    """Train a tiny UMEML_GAN, then evaluate on a CPTAC-style external tree
+    with one sample missing its molecular CSV (GAN imputation path)."""
+    import h5py
+
+    from imp_tpu.config import get_cfg_default
+    from imp_tpu.data import synthetic
+    from imp_tpu.engine import build_trainer
+
+    root = str(tmp_path / "data")
+    synthetic.materialize(root, num_slides=12, bag_min=16, bag_max=32, feat_dim=32,
+                          num_genes=120, group_size=15, seed=0)
+
+    # external cohort tree
+    rng = np.random.default_rng(1)
+    ext = osp.join(root, "test")
+    import os
+
+    os.makedirs(osp.join(ext, "labels", "survival"), exist_ok=True)
+    os.makedirs(osp.join(ext, "features_clip_vit_b16"), exist_ok=True)
+    os.makedirs(osp.join(ext, "molecular"), exist_ok=True)
+    rows = []
+    for i in range(5):
+        pid = f"CPTAC-{i:03d}"
+        bag = rng.normal(size=(20, 32)).astype(np.float32)
+        with h5py.File(osp.join(ext, "features_clip_vit_b16", pid + ".h5"), "w") as f:
+            f.create_dataset("clip_vit_b32_feature", data=bag)
+        if i != 2:  # sample 2 has NO molecular data
+            pd.DataFrame(
+                {
+                    "gene_name": [f"GENE{g}" for g in range(120)],
+                    "fpkm_uq_unstranded": rng.lognormal(size=120).astype(np.float32),
+                }
+            ).to_csv(osp.join(ext, "molecular", pid + ".csv"), index=False)
+        rows.append(
+            dict(patients=pid, labels=i % 4,
+                 survival_months=float(10 + 20 * (i % 4)), censorship=i % 2)
+        )
+    pd.DataFrame(rows).to_csv(
+        osp.join(ext, "labels", "survival", "survival_test.csv"), index=False
+    )
+
+    cfg = get_cfg_default()
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.NAME = "TCGA_Glioma_S_UMEML"
+    cfg.DATASET.FEATURE_NAME = "features_clip_vit_b16"
+    cfg.DATASET.FOLD = 1
+    cfg.DATASET.BAG_PAD = 32
+    cfg.DATASET.PATH.DIM = 32
+    cfg.TASK.NAME = "Survival"
+    cfg.TASK.LOSS = "nllsurvloss_new"
+    cfg.TEST.EVALUATOR = "Survival_UMEML"
+    cfg.TEST.NO_TEST = True
+    cfg.DATALOADER.TRAIN.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 2
+    cfg.OPTIM.MAX_EPOCH = 1
+    cfg.TRAINER.NAME = "MBTRAIN"
+    cfg.MODEL.NAME = "umeml_gan"
+    cfg.MODEL.HIDDEN_DIM = 64
+    cfg.MODEL.FUSION = "concat"
+    cfg.MODEL.UMEML.PROTOTYPES = 6
+    cfg.TRAIN.CURRICULUM.ENABLE = False
+    cfg.TPU.PREFETCH = 0
+
+    trainer = build_trainer(cfg)
+    trainer.train()
+    result = trainer.test_new(cfg)
+    assert np.isfinite(result)
+    # importance dumped for all 5 external samples
+    imp = np.loadtxt(osp.join(cfg.OUTPUT_DIR, "test_new_path.txt"))
+    assert imp.shape == (5, 6)
