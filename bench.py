@@ -147,9 +147,12 @@ def main():
     batch_size = 2
     train_step, state, batch = build_step(batch_size=batch_size)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: under this environment's remote-TPU tunnel
+    # block_until_ready() does NOT wait for device completion, so timing
+    # forces a host readback of a value that depends on the whole chain
+    # (the train state threads through every step, serializing them).
     state, loss = train_step(state, batch, jax.random.PRNGKey(0), jnp.float32(0.1))
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
     iters = 20
     t0 = time.perf_counter()
@@ -157,7 +160,7 @@ def main():
         state, loss = train_step(
             state, batch, jax.random.PRNGKey(i + 1), jnp.float32(0.1)
         )
-    jax.block_until_ready(loss)
+    _ = float(loss)  # forces the full chain
     dt = time.perf_counter() - t0
     slides_per_sec = batch_size * iters / dt
 

@@ -111,6 +111,11 @@ class TrainerBase:
         except Exception:
             pass
 
+        if cfg.TPU.ATTENTION in ("nystrom", "flash"):
+            from ..ops.attention import set_default_attention_impl
+
+            set_default_attention_impl(cfg.TPU.ATTENTION)
+
         self.start_epoch = self.epoch = 0
         self.max_epoch = cfg.OPTIM.MAX_EPOCH
         self.output_dir = cfg.OUTPUT_DIR

@@ -365,24 +365,108 @@ class Nystromformer(nn.Module):
         return x
 
 
-class TransLayer(nn.Module):
-    """``x + NystromAttention(LN(x))`` with heads=8, dim_head=dim/8,
-    landmarks=dim/2 — the standard block used by TransMIL / CMTA / UMEML
-    (reference ``ops/blocks.py:252-268``), plus mask support."""
+# process-wide default attention implementation for TransLayer, set from
+# cfg.TPU.ATTENTION by the trainer ("nystrom" = reference parity;
+# "flash" = exact masked attention via the Pallas kernel)
+_DEFAULT_ATTENTION_IMPL = "nystrom"
 
-    dim: int = 512
-    dropout: float = 0.1
+
+def set_default_attention_impl(name: str) -> None:
+    global _DEFAULT_ATTENTION_IMPL
+    assert name in ("nystrom", "flash"), name
+    _DEFAULT_ATTENTION_IMPL = name
+
+
+class ExactSelfAttention(nn.Module):
+    """Exact masked self-attention with the same parameter structure as
+    :class:`NystromAttention` (to_qkv / res_conv / to_out), computed by the
+    Pallas flash kernel on TPU — checkpoint-interchangeable with Nyström."""
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    residual: bool = True
+    residual_conv_kernel: int = 33
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
+        from .flash_attention import flash_attention
+
+        b, n, _ = x.shape
+        h = self.heads
+        inner = h * self.dim_head
+        qkv = TorchLinear(inner * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, n, h, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        if mask is not None:
+            mvalid = mask[:, None, :, None]
+            v = v * mvalid
+        out = flash_attention(q, k, v, mask=mask, scale=self.dim_head**-0.5)
+
+        if self.residual:
+            ksz = self.residual_conv_kernel
+            fan_in = ksz
+            w = self.param(
+                "res_conv",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -1.0 / math.sqrt(fan_in),
+                    1.0 / math.sqrt(fan_in),
+                ),
+                (h, 1, ksz, 1),
+            )
+            res = jax.lax.conv_general_dilated(
+                v.astype(jnp.float32),
+                w,
+                window_strides=(1, 1),
+                padding=((ksz // 2, ksz // 2), (0, 0)),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=h,
+            ).astype(out.dtype)
+            out = out + res
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = TorchLinear(self.dim, name="to_out")(out)
+        return nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+
+
+class TransLayer(nn.Module):
+    """``x + Attention(LN(x))`` with heads=8, dim_head=dim/8 — the standard
+    block used by TransMIL / CMTA / UMEML (reference ``ops/blocks.py:252-268``),
+    plus mask support.  ``impl='auto'`` follows the process default
+    (cfg.TPU.ATTENTION): Nyström (landmarks=dim/2, reference parity) or the
+    exact Pallas flash attention."""
+
+    dim: int = 512
+    dropout: float = 0.1
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        impl = self.impl if self.impl != "auto" else _DEFAULT_ATTENTION_IMPL
         y = nn.LayerNorm(epsilon=1e-5)(x)
-        y = NystromAttention(
-            dim=self.dim,
-            dim_head=self.dim // 8,
-            heads=8,
-            num_landmarks=self.dim // 2,
-            pinv_iterations=6,
-            residual=True,
-            dropout=self.dropout,
-        )(y, mask=mask, deterministic=deterministic)
+        if impl == "flash":
+            y = ExactSelfAttention(
+                dim=self.dim,
+                dim_head=self.dim // 8,
+                heads=8,
+                residual=True,
+                dropout=self.dropout,
+                name="attn",
+            )(y, mask=mask, deterministic=deterministic)
+        else:
+            y = NystromAttention(
+                dim=self.dim,
+                dim_head=self.dim // 8,
+                heads=8,
+                num_landmarks=self.dim // 2,
+                pinv_iterations=6,
+                residual=True,
+                dropout=self.dropout,
+                name="attn",
+            )(y, mask=mask, deterministic=deterministic)
         return x + y

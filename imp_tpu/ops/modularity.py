@@ -63,10 +63,17 @@ def compute_modularity(
     )  # normalize over P per feature
     C = jnp.clip(jnp.einsum("bnd,bpd->bpn", norm_x, norm_c), 0.0, None)
 
-    # --- E = tanh(C Cᵀ / temp) per prototype, max over prototypes
-    E = jnp.tanh(jnp.einsum("bpn,bpm->bpnm", C, C) / temp)
-    delta = E.max(axis=1)  # [B, N, N]
+    # --- delta = max_p tanh(C_p C_pᵀ / temp); tanh is monotonic so the max
+    # commutes inside, and the [B,P,N,N] tensor never materializes (running
+    # max over the P prototypes)
+    p_count = C.shape[1]
+    cc_max = C[:, 0, :, None] * C[:, 0, None, :]
+    for pi in range(1, p_count):  # P is tiny (6); unrolled
+        cc_max = jnp.maximum(cc_max, C[:, pi, :, None] * C[:, pi, None, :])
+    delta = jnp.tanh(cc_max / temp)
 
-    Q = (W / e) @ delta
-    trace = jnp.trace(Q, axis1=-2, axis2=-1)
+    # --- trace((W/e) @ delta) = sum_ij (W/e)_ij delta_ji; delta is symmetric,
+    # so this is an elementwise contraction — O(N^2) instead of the O(N^3)
+    # matmul the reference materializes (ref ops/utils.py:222-227)
+    trace = jnp.sum((W / e) * delta, axis=(1, 2))
     return -jnp.mean(trace) * 100.0
