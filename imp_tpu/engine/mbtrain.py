@@ -425,26 +425,42 @@ class MBTRAIN(TrainerBase):
         num_batches = len(self.train_loader)
         n_slides = 0
         step = self._train_steps[bool(train_gan)]
+        pending = []  # (batch_idx, device metrics, device importance pair)
+
+        def flush():
+            if not pending:
+                return
+            host = jax.device_get([(m, imp) for _, m, imp in pending])
+            for (bi, _, _), (metrics, imp) in zip(pending, host):
+                metrics = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(metrics["loss"]):
+                    raise FloatingPointError("Loss is infinite or NaN!")
+                losses.update(metrics)
+                if imp is not None:
+                    self._dump_importance("train", imp[0], imp[1])
+                n_iter = self.epoch * num_batches + bi
+                for name, value in metrics.items():
+                    self.writer.write_scalar("train/" + name, value, n_iter)
+            pending.clear()
+
         end = _time.time()
         for batch_idx, batch in enumerate(self.train_loader):
             db = device_batch(self._host_batch(batch, train=True), self.mesh)
             if self.is_gan:
-                self.state, metrics, (imp_p, imp_o) = step(
+                self.state, metrics, imp = step(
                     self.state, db, self.next_rng(), jnp.float32(replace_ratio)
                 )
-                self._dump_importance("train", imp_p, imp_o)
             else:
                 self.state, metrics = step(self.state, db, self.next_rng())
-            metrics = {k: float(v) for k, v in metrics.items()}
-            if not np.isfinite(metrics["loss"]):
-                raise FloatingPointError("Loss is infinite or NaN!")
-            losses.update(metrics)
+                imp = None
+            pending.append((batch_idx, metrics, imp))
             n_slides += len(batch["patient_id"])
             batch_time.update(_time.time() - end)
 
             if (batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0 or (
                 num_batches < self.cfg.TRAIN.PRINT_FREQ
             ):
+                flush()
                 print(
                     f"epoch [{self.epoch + 1}/{self.max_epoch}] "
                     f"batch [{batch_idx + 1}/{num_batches}] "
@@ -452,10 +468,8 @@ class MBTRAIN(TrainerBase):
                     f"{losses} lr {self.get_current_lr():.4e} "
                     f"gan={train_gan} rr={replace_ratio:.3f}"
                 )
-            n_iter = self.epoch * num_batches + batch_idx
-            for name, meter in losses.meters.items():
-                self.writer.write_scalar("train/" + name, meter.avg, n_iter)
             end = _time.time()
+        flush()
         self.writer.write_scalar(
             "train/slides_per_sec", n_slides / max(batch_time.sum, 1e-9), self.epoch
         )

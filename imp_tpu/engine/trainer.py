@@ -206,21 +206,42 @@ class TrainerBase:
         self.train_loader.set_epoch(self.epoch)
 
     def run_epoch(self):
+        """Training epoch with DEFERRED metric readbacks: per-step metrics
+        stay on device (this environment's remote-TPU tunnel makes every
+        host readback a full round-trip) and are materialized in one
+        device_get at print points / epoch end."""
         losses = MetricMeter()
         batch_time = AverageMeter()
         data_time = AverageMeter()
         num_batches = len(self.train_loader)
         n_slides = 0
+        pending = []  # (batch_idx, device-metrics dict)
+
+        def flush():
+            if not pending:
+                return
+            host = jax.device_get([m for _, m in pending])
+            for (bi, _), metrics in zip(pending, host):
+                metrics = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(metrics.get("loss", 0.0)):
+                    raise FloatingPointError("Loss is infinite or NaN!")
+                losses.update(metrics)
+                n_iter = self.epoch * num_batches + bi
+                for name, value in metrics.items():
+                    self.writer.write_scalar("train/" + name, value, n_iter)
+            pending.clear()
+
         end = time.time()
         for batch_idx, batch in enumerate(self.train_loader):
             data_time.update(time.time() - end)
-            summary = self.train_step(batch)
+            summary = self.train_step(batch)  # device scalars
             batch_time.update(time.time() - end)
-            losses.update(summary)
+            pending.append((batch_idx, summary))
             n_slides += len(batch["patient_id"])
 
             meet_freq = (batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
             if meet_freq or num_batches < self.cfg.TRAIN.PRINT_FREQ:
+                flush()
                 nb_remain = (num_batches - batch_idx - 1) + (
                     self.max_epoch - self.epoch - 1
                 ) * num_batches
@@ -235,11 +256,8 @@ class TrainerBase:
                     f"eta {eta}",
                 ]
                 print(" ".join(info))
-            n_iter = self.epoch * num_batches + batch_idx
-            for name, meter in losses.meters.items():
-                self.writer.write_scalar("train/" + name, meter.avg, n_iter)
-            self.writer.write_scalar("train/lr", self.get_current_lr(), n_iter)
             end = time.time()
+        flush()
         dt = max(batch_time.sum, 1e-9)
         self.writer.write_scalar("train/slides_per_sec", n_slides / dt, self.epoch)
 
@@ -432,10 +450,7 @@ class StandardTrainer(TrainerBase):
         self.params, self.model_state, self.opt_state, loss = self._train_step(
             self.params, self.model_state, self.opt_state, db, self.next_rng()
         )
-        loss = float(loss)
-        if not np.isfinite(loss):
-            raise FloatingPointError("Loss is infinite or NaN!")
-        return {"loss": loss}
+        return {"loss": loss}  # device scalar; materialized by run_epoch
 
     def eval_logits(self, batch, split, batch_index):
         db = device_batch(batch, self.mesh)
