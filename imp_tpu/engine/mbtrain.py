@@ -577,6 +577,7 @@ class MBTRAIN(TrainerBase):
 
         print(f"Evaluate on the *{split}* set")
         batch_start = 0
+        pending = []  # defer device->host readbacks to one device_get
         for batch_index, batch in enumerate(loader):
             b = batch["img"].shape[0]
             without = np.isin(
@@ -592,6 +593,9 @@ class MBTRAIN(TrainerBase):
             )
             db = device_batch(hb, self.mesh)
             logits, imp_p, imp_o = self._eval_step(self.state["params"], db)
+            pending.append(((logits, imp_p, imp_o), batch))
+        host = jax.device_get([p for p, _ in pending])
+        for (logits, imp_p, imp_o), (_, batch) in zip(host, pending):
             if imp_p is not None:
                 self._dump_importance(split, imp_p, imp_o)
             self.process_eval_batch(np.asarray(logits), batch)
@@ -636,6 +640,7 @@ class MBTRAIN(TrainerBase):
 
         print(f"Evaluate on the *external test* set ({num_samples} samples)")
         batch_start = 0
+        pending = []
         for batch_index, batch in enumerate(loader):
             b = batch["img"].shape[0]
             ratio_without = np.isin(
@@ -653,6 +658,9 @@ class MBTRAIN(TrainerBase):
             )
             db = device_batch(hb, self.mesh)
             logits, imp_p, imp_o = self._eval_step(self.state["params"], db)
+            pending.append(((logits, imp_p, imp_o), batch))
+        host = jax.device_get([p for p, _ in pending])
+        for (logits, imp_p, imp_o), (_, batch) in zip(host, pending):
             if imp_p is not None:
                 self._dump_importance("test_new", imp_p, imp_o)
             self.process_eval_batch(np.asarray(logits), batch)

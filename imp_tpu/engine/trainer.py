@@ -315,9 +315,14 @@ class TrainerBase:
             split = "test"
             loader = self.test_loader
         print(f"Evaluate on the *{split}* set")
+        pending = []  # defer device->host readbacks to one device_get
         for batch_index, batch in enumerate(loader):
             logits = self.eval_logits(batch, split, batch_index)
-            self.process_eval_batch(logits, batch)
+            pending.append((logits, batch))
+        for logits, batch in zip(
+            jax.device_get([l for l, _ in pending]), [b for _, b in pending]
+        ):
+            self.process_eval_batch(np.asarray(logits), batch)
         results = self.evaluator.evaluate()
         for k, v in results.items():
             if self.writer:
@@ -454,7 +459,7 @@ class StandardTrainer(TrainerBase):
 
     def eval_logits(self, batch, split, batch_index):
         db = device_batch(batch, self.mesh)
-        return np.asarray(self._eval_step(self.params, self.model_state, db))
+        return self._eval_step(self.params, self.model_state, db)  # device array
 
     def state_dict(self):
         return {

@@ -38,9 +38,10 @@ def lr_at_epoch(optim_cfg, epoch: int) -> float:
             return base_lr * epoch / W
         raise ValueError(optim_cfg.WARMUP_TYPE)
 
-    # successor epoch index (torch warmup wrapper steps the successor once
-    # per epoch starting at epoch == W, with its own init step at 0)
-    se = epoch - W + 1 if W > 0 else epoch
+    # successor epoch index: at the first post-warmup epoch the torch warmup
+    # wrapper serves the successor's *initial* (un-stepped) lr, so the
+    # successor lags the epoch count by exactly W
+    se = epoch - W if W > 0 else epoch
 
     if name == "single_step":
         ss = stepsize[-1] if isinstance(stepsize, (list, tuple)) else stepsize
