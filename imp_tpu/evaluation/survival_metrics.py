@@ -27,6 +27,11 @@ class NoComparablePairError(ValueError):
     pass
 
 
+#: above this cohort size the O(n^2) boolean matrices of the numpy path get
+#: heavy; the C kernel (imp_tpu/native/cindex.c) runs with O(1) memory
+_NATIVE_THRESHOLD = 2048
+
+
 def _weighted_concordance(
     event: np.ndarray,
     time: np.ndarray,
@@ -38,6 +43,13 @@ def _weighted_concordance(
     time = np.asarray(time, dtype=np.float64)
     estimate = np.asarray(estimate, dtype=np.float64)
     weights = np.asarray(weights, dtype=np.float64)
+
+    if len(time) >= _NATIVE_THRESHOLD:
+        from ..native import native_weighted_concordance
+
+        result = native_weighted_concordance(event, time, estimate, weights, tied_tol)
+        if result is not None:
+            return result
 
     lt = time[:, None] < time[None, :]
     eq = time[:, None] == time[None, :]
