@@ -68,6 +68,7 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     data_sharding = batch_sharding(mesh, axis)
     repl = replicated(mesh)
     n_shards = mesh.shape[axis]
+    multi_host = jax.process_count() > 1
 
     def _put(x):
         x = np.asarray(x)
@@ -75,6 +76,10 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
         # replication — correct, just not parallel for that batch
         if x.ndim == 0 or x.shape[0] % n_shards != 0:
             return jax.device_put(x, repl)
+        if multi_host:
+            # each host feeds its local slice of the global batch (the data
+            # pipeline already loads per-host shards via host_local_slice)
+            return jax.make_array_from_process_local_data(data_sharding, x)
         return jax.device_put(x, data_sharding)
 
     return jax.tree_util.tree_map(_put, batch)

@@ -2,7 +2,6 @@
 (executed as a black-box oracle with random weights)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 import torch
@@ -11,9 +10,16 @@ from reference_shim import load_ref_module
 
 from imp_tpu.models.clip import (
     CLIP_CONFIGS,
-    build_text_tower,
-    build_vision_tower,
+    TextTransformer,
+    VisionTransformer,
     convert_torch_clip_state,
+)
+
+# a small ViT-shaped CLIP for test speed (2 layers each tower)
+TEST_CFG = dict(
+    embed_dim=64, image_resolution=64, vision_layers=2, vision_width=96,
+    vision_patch_size=32, context_length=16, vocab_size=100,
+    transformer_width=64, transformer_heads=4, transformer_layers=2,
 )
 
 
@@ -21,46 +27,29 @@ from imp_tpu.models.clip import (
 def torch_clip():
     mod = load_ref_module("clip/model.py", "ref_clip_model")
     torch.manual_seed(0)
-    # a tiny ViT-B/32-shaped CLIP (fewer layers for test speed)
     model = mod.CLIP(
-        embed_dim=64,
-        image_resolution=64,
-        vision_layers=2,
-        vision_width=96,  # heads=96//64 -> must divide; use 96? heads=1
-        vision_patch_size=32,
-        context_length=16,
-        vocab_size=100,
-        transformer_width=64,
-        transformer_heads=4,
-        transformer_layers=2,
-    )
-    model = model.float().eval()
-    return mod, model
+        embed_dim=TEST_CFG["embed_dim"],
+        image_resolution=TEST_CFG["image_resolution"],
+        vision_layers=TEST_CFG["vision_layers"],
+        vision_width=TEST_CFG["vision_width"],
+        vision_patch_size=TEST_CFG["vision_patch_size"],
+        context_length=TEST_CFG["context_length"],
+        vocab_size=TEST_CFG["vocab_size"],
+        transformer_width=TEST_CFG["transformer_width"],
+        transformer_heads=TEST_CFG["transformer_heads"],
+        transformer_layers=TEST_CFG["transformer_layers"],
+    ).float().eval()
+    CLIP_CONFIGS["test"] = dict(TEST_CFG)
+    vparams, tparams = convert_torch_clip_state(model.state_dict(), name="test")
+    return model, vparams, tparams
 
 
 def test_vision_tower_matches_torch(torch_clip):
-    mod, model = torch_clip
-    from imp_tpu.models.clip import VisionTransformer
-
-    cfg = dict(
-        input_resolution=64, patch_size=32, width=96, layers=2,
-        heads=96 // 64 if 96 % 64 == 0 else 1, output_dim=64,
+    model, vparams, _ = torch_clip
+    vit = VisionTransformer(
+        input_resolution=64, patch_size=32, width=96,
+        layers=2, heads=96 // 64, output_dim=64,  # heads like ref: width//64
     )
-    cfg["heads"] = 1  # torch used vision_width*32//64 = 48?? match attn heads
-    # derive heads exactly like the reference CLIP.__init__ (width*32//64...)
-    # for ViT path: heads = vision_width // 64 = 1 (96//64)
-    vit = VisionTransformer(**cfg)
-
-    # hack config dict above aside: convert weights and compare
-    sd = {k: v for k, v in model.state_dict().items()}
-    # local conversion using a fake config entry
-    CLIP_CONFIGS["test"] = dict(
-        embed_dim=64, image_resolution=64, vision_layers=2, vision_width=96,
-        vision_patch_size=32, context_length=16, vocab_size=100,
-        transformer_width=64, transformer_heads=4, transformer_layers=2,
-    )
-    vparams, tparams = convert_torch_clip_state(sd, name="test")
-
     rng = np.random.default_rng(0)
     img = rng.normal(size=(3, 3, 64, 64)).astype(np.float32)
     with torch.no_grad():
@@ -70,16 +59,7 @@ def test_vision_tower_matches_torch(torch_clip):
 
 
 def test_text_tower_matches_torch(torch_clip):
-    mod, model = torch_clip
-    sd = {k: v for k, v in model.state_dict().items()}
-    CLIP_CONFIGS["test2"] = dict(
-        embed_dim=64, image_resolution=64, vision_layers=2, vision_width=96,
-        vision_patch_size=32, context_length=16, vocab_size=100,
-        transformer_width=64, transformer_heads=4, transformer_layers=2,
-    )
-    _, tparams = convert_torch_clip_state(sd, name="test2")
-    from imp_tpu.models.clip import TextTransformer
-
+    model, _, tparams = torch_clip
     txt = TextTransformer(
         context_length=16, vocab_size=100, width=64, heads=4, layers=2, embed_dim=64
     )
