@@ -4,6 +4,12 @@ from .survival_metrics import (
     censoring_survival_function,
     NoComparablePairError,
 )
+from .accuracy import (
+    compute_accuracy,
+    compute_distance_matrix,
+    euclidean_squared_distance,
+    cosine_distance,
+)
 from .evaluators import (
     EVALUATOR_REGISTRY,
     build_evaluator,
@@ -16,6 +22,10 @@ from .evaluators import (
 )
 
 __all__ = [
+    "compute_accuracy",
+    "compute_distance_matrix",
+    "euclidean_squared_distance",
+    "cosine_distance",
     "concordance_index_censored",
     "concordance_index_ipcw",
     "censoring_survival_function",
