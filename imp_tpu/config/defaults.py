@@ -87,6 +87,8 @@ def get_cfg_default() -> CN:
     _C.DATALOADER = CN()
     _C.DATALOADER.NUM_WORKERS = 4
     _C.DATALOADER.CACHE = True  # in-memory bag cache (fits: bags are features)
+    _C.DATALOADER.DEVICE_CACHE = True  # device-resident bag cache (single-chip
+    # meshes; upload each slide once instead of re-transferring every epoch)
     _C.DATALOADER.K_TRANSFORMS = 1
     _C.DATALOADER.RETURN_IMG0 = False
     _C.DATALOADER.TRAIN = CN()

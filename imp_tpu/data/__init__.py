@@ -7,7 +7,7 @@ from .manager import (
     collate,
     load_gene_group_indexes,
 )
-from . import synthetic
+from . import external, labeling, synthetic
 
 __all__ = [
     "Datum",
@@ -22,5 +22,7 @@ __all__ = [
     "EpochLoader",
     "collate",
     "load_gene_group_indexes",
+    "external",
+    "labeling",
     "synthetic",
 ]

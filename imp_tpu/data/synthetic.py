@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 import os
 import os.path as osp
-from typing import Optional
 
 import h5py
 import numpy as np

@@ -41,7 +41,7 @@ import numpy as np
 import optax
 
 from . import TRAINER_REGISTRY
-from .trainer import ARRAY_KEYS, TrainerBase, device_batch, make_task_loss
+from .trainer import ARRAY_KEYS, TrainerBase, device_batch
 from ..losses import cca_loss as cca_loss_fn
 from ..losses import similarity_alignment_loss
 from ..models import build_model
@@ -355,6 +355,13 @@ class MBTRAIN(TrainerBase):
     # ------------------------------------------------------------------ #
     # batch preparation                                                    #
     # ------------------------------------------------------------------ #
+    def _to_device_mb(self, host_batch, raw_batch, tag: str):
+        if self.bag_cache is not None and "index" in raw_batch:
+            hb = dict(host_batch)
+            hb["index"] = raw_batch["index"]
+            return self.bag_cache.build(hb, self.mesh, tag)
+        return device_batch(host_batch, self.mesh)
+
     def _host_batch(
         self,
         batch: Dict,
@@ -445,7 +452,7 @@ class MBTRAIN(TrainerBase):
 
         end = _time.time()
         for batch_idx, batch in enumerate(self.train_loader):
-            db = device_batch(self._host_batch(batch, train=True), self.mesh)
+            db = self._to_device_mb(self._host_batch(batch, train=True), batch, "train")
             if self.is_gan:
                 self.state, metrics, imp = step(
                     self.state, db, self.next_rng(), jnp.float32(replace_ratio)
@@ -485,7 +492,7 @@ class MBTRAIN(TrainerBase):
 
         group: List = []
         for batch_idx, batch in enumerate(self.train_loader):
-            db = device_batch(self._host_batch(batch, train=True), self.mesh)
+            db = self._to_device_mb(self._host_batch(batch, train=True), batch, "train")
             rng = self.next_rng()
             hp, ho, sim = self._cca_values(self.state["params"], db, rng)
             group.append((db, rng, hp, ho, sim))
@@ -591,7 +598,7 @@ class MBTRAIN(TrainerBase):
             hb = self._host_batch(
                 batch, train=False, without_omic=without, insample_mask=insample
             )
-            db = device_batch(hb, self.mesh)
+            db = self._to_device_mb(hb, batch, split)
             logits, imp_p, imp_o = self._eval_step(self.state["params"], db)
             pending.append(((logits, imp_p, imp_o), batch))
         host = jax.device_get([p for p, _ in pending])
@@ -656,7 +663,7 @@ class MBTRAIN(TrainerBase):
             hb = self._host_batch(
                 batch, train=False, without_omic=without, insample_mask=insample
             )
-            db = device_batch(hb, self.mesh)
+            db = self._to_device_mb(hb, batch, "test_new")
             logits, imp_p, imp_o = self._eval_step(self.state["params"], db)
             pending.append(((logits, imp_p, imp_o), batch))
         host = jax.device_get([p for p, _ in pending])

@@ -55,6 +55,49 @@ def device_batch(batch: Dict, mesh) -> Dict:
     return shard_batch(arrays, mesh)
 
 
+class DeviceBagCache:
+    """Device-resident cache of per-slide bags.
+
+    The bag (``img`` + ``img_mask``) dominates batch bytes (e.g. 20 MB per
+    10k x 512 slide); re-uploading it every epoch is waste — severe under
+    remote-TPU links.  Each slide is uploaded once and batches are stacked
+    on device afterwards.  Disabled automatically beyond ``budget_bytes``
+    or on multi-device meshes (where per-shard placement wins).
+    """
+
+    def __init__(self, mesh, budget_bytes: float = 8e9):
+        self.enabled = int(np.prod(list(mesh.shape.values()))) == 1
+        self.budget = budget_bytes
+        self.used = 0
+        self._cache: Dict = {}
+
+    def build(self, batch: Dict, mesh, tag: str = "") -> Dict:
+        if not self.enabled or "index" not in batch:
+            return device_batch(batch, mesh)
+        small = {
+            k: v for k, v in batch.items()
+            if k in ARRAY_KEYS and k not in ("img", "img_mask")
+        }
+        out = shard_batch(small, mesh)
+        for field in ("img", "img_mask"):
+            if field not in batch:
+                continue
+            parts = []
+            for i, idx in enumerate(np.asarray(batch["index"])):
+                key = (tag, field, int(idx))
+                if key not in self._cache:
+                    nbytes = batch[field][i].nbytes
+                    if self.used + nbytes > self.budget:
+                        # budget exhausted: transfer without caching
+                        parts.append(jax.device_put(batch[field][i]))
+                        continue
+                    self._cache[key] = jax.device_put(batch[field][i])
+                    self.used += nbytes
+                parts.append(self._cache[key])
+            out[field] = jnp.stack(parts)
+        return out
+
+
 def make_task_loss(cfg) -> Callable:
     """Loss glue: TASK.NAME + TASK.LOSS -> callable(logits, batch) -> loss.
 
@@ -154,6 +197,7 @@ class TrainerBase:
         self.time_start = None
 
         self.task_loss = make_task_loss(cfg)
+        self.bag_cache = DeviceBagCache(self.mesh) if cfg.DATALOADER.DEVICE_CACHE else None
         self.build_model()
 
     # -- to be provided by subclasses ---------------------------------------
@@ -450,15 +494,24 @@ class StandardTrainer(TrainerBase):
         self._train_step = _train_step
         self._eval_step = _eval_step
 
+    def _to_device(self, batch: Dict, tag: str) -> Dict:
+        if self.bag_cache is not None:
+            return self.bag_cache.build(
+                {k: v for k, v in batch.items() if k in ARRAY_KEYS or k == "index"},
+                self.mesh,
+                tag,
+            )
+        return device_batch(batch, self.mesh)
+
     def train_step(self, batch: Dict) -> Dict:
-        db = device_batch(batch, self.mesh)
+        db = self._to_device(batch, "train")
         self.params, self.model_state, self.opt_state, loss = self._train_step(
             self.params, self.model_state, self.opt_state, db, self.next_rng()
         )
         return {"loss": loss}  # device scalar; materialized by run_epoch
 
     def eval_logits(self, batch, split, batch_index):
-        db = device_batch(batch, self.mesh)
+        db = self._to_device(batch, split)
         return self._eval_step(self.params, self.model_state, db)  # device array
 
     def state_dict(self):

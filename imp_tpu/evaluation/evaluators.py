@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os.path as osp
 from collections import OrderedDict, defaultdict
-from typing import Optional
 
 import numpy as np
 
@@ -17,7 +16,6 @@ from ..utils.registry import Registry
 from .survival_metrics import (
     concordance_index_censored,
     concordance_index_ipcw,
-    NoComparablePairError,
 )
 
 EVALUATOR_REGISTRY = Registry("EVALUATOR")

@@ -12,8 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import Attn_Net_Gated, SNN_Block, masked_attention_pool
-from ..ops.attention import TorchLinear
+from ..ops.blocks import Attn_Net_Gated, masked_attention_pool
 
 # init_max_weights (reference ops/utils.py:86-100): N(0, 1/sqrt(fan_in))
 def _max_weights_kernel_init(key, shape, dtype=jnp.float32):

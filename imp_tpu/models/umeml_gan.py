@@ -33,7 +33,7 @@ Documented deviations from the reference (by spec, see SURVEY.md §7):
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

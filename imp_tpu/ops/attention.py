@@ -23,7 +23,6 @@ policy; ``preferred_element_type`` keeps MXU accumulation fp32).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

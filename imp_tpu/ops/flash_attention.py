@@ -15,7 +15,6 @@ Falls back to an XLA dense implementation off-TPU.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

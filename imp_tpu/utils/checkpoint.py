@@ -9,7 +9,6 @@ all optimizer states + epoch + val_result).
 
 from __future__ import annotations
 
-import os
 import os.path as osp
 from typing import Any, Optional, Tuple
 

@@ -7,7 +7,7 @@ just a dict of factories — no metaclass machinery.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable
+from typing import Callable, Dict, Iterable
 
 
 class Registry:

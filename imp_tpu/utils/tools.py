@@ -10,7 +10,7 @@ import os
 import os.path as osp
 import random
 import warnings
-from typing import Any, Iterable, Optional
+from typing import Any, Iterable
 
 import numpy as np
 
