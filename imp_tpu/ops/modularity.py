@@ -41,7 +41,8 @@ def compute_modularity(
     x = jax.lax.stop_gradient(x)
     b, n, d = x.shape
 
-    # --- modularity matrix W and total edge weight e (ref get_modularity_matrix_and_edge)
+    # --- adjacency A = clip(cos, 0) with zeroed diagonal, degrees d, edges e
+    # (ref get_modularity_matrix_and_edge); A is the only [N,N] buffer kept
     norm_x = _l2_normalize(x, axis=2)
     if valid is not None:
         norm_x = norm_x * valid[..., None]
@@ -51,10 +52,8 @@ def compute_modularity(
         None,
     )
     A = A * (1.0 - jnp.eye(n, dtype=A.dtype))
-    deg = A.sum(axis=2, keepdims=True)  # [B, N, 1]
-    e = A.sum(axis=(1, 2), keepdims=True)  # [B, 1, 1]
-    e = jnp.maximum(e, 1e-12)
-    W = A - (deg / e) @ (jnp.swapaxes(deg, 1, 2) / e) * e
+    deg = A.sum(axis=2)  # [B, N]
+    e = jnp.maximum(deg.sum(axis=1), 1e-12)  # [B]
 
     # --- cluster assignment with the reference's per-feature prototype norm
     # C[b,p,n] = sum_d norm_x[b,n,d] * (c[b,p,d] / ||c[b,:,d]||)
@@ -63,17 +62,21 @@ def compute_modularity(
     )  # normalize over P per feature
     C = jnp.clip(jnp.einsum("bnd,bpd->bpn", norm_x, norm_c), 0.0, None)
 
-    # --- delta = max_p tanh(C_p C_pᵀ / temp); tanh is monotonic so the max
-    # commutes inside, and the [B,P,N,N] tensor never materializes (running
-    # max over the P prototypes)
+    # --- delta_ij = tanh(max_p C_pi C_pj / temp); tanh is monotonic so the
+    # max commutes inside and the [B,P,N,N] tensor never materializes
+    # (running max over the P prototypes)
     p_count = C.shape[1]
-    cc_max = C[:, 0, :, None] * C[:, 0, None, :]
+    cc = C[:, 0, :, None] * C[:, 0, None, :]
     for pi in range(1, p_count):  # P is tiny (6); unrolled
-        cc_max = jnp.maximum(cc_max, C[:, pi, :, None] * C[:, pi, None, :])
-    delta = jnp.tanh(cc_max / temp)
+        cc = jnp.maximum(cc, C[:, pi, :, None] * C[:, pi, None, :])
+    delta = jnp.tanh(cc / temp)
 
-    # --- trace((W/e) @ delta) = sum_ij (W/e)_ij delta_ji; delta is symmetric,
-    # so this is an elementwise contraction — O(N^2) instead of the O(N^3)
-    # matmul the reference materializes (ref ops/utils.py:222-227)
-    trace = jnp.sum((W / e) * delta, axis=(1, 2))
+    # --- trace((W/e) @ delta) with W = A - d dᵀ/e and symmetric delta:
+    #   = [ sum_ij A_ij delta_ij  -  (dᵀ delta d)/e ] / e
+    # O(N^2) elementwise (the reference materializes the O(N^3) matmul,
+    # ref ops/utils.py:222-227) and no W buffer.
+    s1 = jnp.sum(A * delta, axis=(1, 2))
+    dv = jnp.einsum("bij,bj->bi", delta, deg)  # [B, N]
+    q = jnp.einsum("bi,bi->b", deg, dv)
+    trace = (s1 - q / e) / e
     return -jnp.mean(trace) * 100.0
