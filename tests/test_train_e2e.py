@@ -123,3 +123,17 @@ def test_mbtrain_eval_omics_ablation(synth_root, tmp_path):
         split="test", umeml_gan_test_insample_without_omic_ratio=0.5
     )
     assert np.isfinite(r2)
+
+
+def test_mbtrain_umeml_gan_grading(synth_root, tmp_path):
+    """UMEML_GAN on a classification task: CE + KD + modularity dispatch,
+    Classification_UMEML evaluator."""
+    cfg = _cfg(
+        synth_root, tmp_path, "MBTRAIN", model_name="umeml_gan", task="Grading",
+        dataset="TCGA_Glioma_G_UMEML", epochs=2,
+    )
+    cfg.TRAIN.CURRICULUM.GAN_START_EPOCH = 1
+    cfg.TRAIN.CURRICULUM.CCA_EVERY_EPOCH = False
+    trainer = build_trainer(cfg)
+    result = trainer.train()
+    assert np.isfinite(result)
