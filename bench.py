@@ -23,7 +23,7 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 import numpy as np
 
 
-def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden=256):
+def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden=256, prec="fp32"):
     import jax
     import jax.numpy as jnp
 
@@ -91,12 +91,20 @@ def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden
 
     from functools import partial
 
+    from imp_tpu.engine.trainer import cast_floats
+
+    cdtype = jnp.bfloat16 if prec in ("bf16", "amp", "fp16") else None
+
+    def _amp_apply(p, b_, **kw):
+        out = model.apply(cast_floats(p, cdtype), cast_floats(b_, cdtype), **kw)
+        return cast_floats(out, jnp.float32) if cdtype else out
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng, replace_ratio):
         params = state["params"]
         rng_d, rng_g = jax.random.split(rng)
-        enc = model.apply(params, batch, train=True, method=UMEML_GAN.encode,
-                          rngs={"dropout": rng_d})
+        enc = _amp_apply(params, batch, train=True, method=UMEML_GAN.encode,
+                         rngs={"dropout": rng_d})
         h_path, h_omic = enc["h_path"], enc["h_omic"]
         gen_sub = _take(params, GEN_KEYS)
         gen_loss, gen_grads = jax.value_and_grad(
@@ -122,9 +130,9 @@ def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden
         mg_sub = _take(params, main_keys)
 
         def main_fn(sub):
-            out = model.apply(_merge(params, sub), batch, train=True,
-                              replace_ratio=replace_ratio,
-                              rngs={"dropout": rng_d, "gan": rng_g})
+            out = _amp_apply(_merge(params, sub), batch, train=True,
+                             replace_ratio=replace_ratio,
+                             rngs={"dropout": rng_d, "gan": rng_g})
             loss = (loss_obj(out["logits"], batch["label"], batch["censorship"])
                     + out["modular_loss"] + out["loss_kd"])
             return loss
@@ -141,11 +149,18 @@ def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
-    batch_size = 2
-    train_step, state, batch = build_step(batch_size=batch_size)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prec", default="fp32", choices=["fp32", "bf16", "amp"])
+    ap.add_argument("--batch-size", type=int, default=2)
+    args = ap.parse_args()
+
+    batch_size = args.batch_size
+    train_step, state, batch = build_step(batch_size=batch_size, prec=args.prec)
 
     # warmup / compile.  NOTE: under this environment's remote-TPU tunnel
     # block_until_ready() does NOT wait for device completion, so timing

@@ -41,7 +41,7 @@ import numpy as np
 import optax
 
 from . import TRAINER_REGISTRY
-from .trainer import ARRAY_KEYS, TrainerBase, device_batch
+from .trainer import ARRAY_KEYS, TrainerBase, cast_floats, compute_dtype_of, device_batch
 from ..losses import cca_loss as cca_loss_fn
 from ..losses import similarity_alignment_loss
 from ..models import build_model
@@ -159,13 +159,20 @@ class MBTRAIN(TrainerBase):
         model, task_loss = self.model, self.task_loss
         main_tx = self.main_tx
         is_gan = self.is_gan
+        cdtype = compute_dtype_of(self.cfg)
+
+        def _amp_apply(p, batch, **kw):
+            """model.apply under the precision policy: params/batch cast to
+            the compute dtype, float outputs cast back to fp32."""
+            out = model.apply(cast_floats(p, cdtype), cast_floats(batch, cdtype), **kw)
+            return cast_floats(out, jnp.float32) if cdtype else out
 
         if not is_gan:
 
             @partial(jax.jit, donate_argnums=(0,))
             def train_step(state, batch, rng):
                 def loss_fn(p):
-                    out = model.apply(p, batch, train=True, rngs={"dropout": rng})
+                    out = _amp_apply(p, batch, train=True, rngs={"dropout": rng})
                     loss = task_loss(out["logits"], batch) + out["modular_loss"]
                     return loss, out
 
@@ -180,7 +187,7 @@ class MBTRAIN(TrainerBase):
 
             @jax.jit
             def eval_step(params, batch):
-                out = model.apply(params, batch, train=False)
+                out = _amp_apply(params, batch, train=False)
                 return out["logits"], None, None
 
             self._train_steps = {False: train_step, True: train_step}
@@ -204,7 +211,7 @@ class MBTRAIN(TrainerBase):
                 if train_gan:
                     # ---- GAN phase: same dropout rng as the main phase so
                     # the encoder output is the one forward pass of the ref
-                    enc = model.apply(
+                    enc = _amp_apply(
                         params,
                         batch,
                         train=True,
@@ -250,7 +257,7 @@ class MBTRAIN(TrainerBase):
                 mg_sub = _take(params, main_keys)
 
                 def main_fn(sub):
-                    out = model.apply(
+                    out = _amp_apply(
                         _merge(params, sub),
                         batch,
                         train=True,
@@ -288,7 +295,7 @@ class MBTRAIN(TrainerBase):
 
         @jax.jit
         def eval_step(params, batch):
-            out = model.apply(params, batch, train=False)
+            out = _amp_apply(params, batch, train=False)
             return out["logits"], out["importance_path"], out["importance_omic"]
 
         self._eval_step = eval_step

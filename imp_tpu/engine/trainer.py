@@ -98,6 +98,23 @@ class DeviceBagCache:
         return out
 
 
+def compute_dtype_of(cfg):
+    """Mixed-precision policy: TRAINER.PREC in (bf16, fp16, amp) computes the
+    forward/backward in bfloat16 (params stay fp32 in the optimizer; losses
+    and the pinv iteration stay fp32). The reference's amp/fp16 map to bf16
+    on TPU (no loss scaling needed) — ref ``mbtrain.py:97,119-136``."""
+    return jnp.bfloat16 if cfg.TRAINER.PREC in ("bf16", "fp16", "amp") else None
+
+
+def cast_floats(tree, dtype):
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        tree,
+    )
+
+
 def make_task_loss(cfg) -> Callable:
     """Loss glue: TASK.NAME + TASK.LOSS -> callable(logits, batch) -> loss.
 
@@ -457,24 +474,30 @@ class StandardTrainer(TrainerBase):
 
         model, task_loss, extra_loss = self.model, self.task_loss, self.extra_loss
         mutable_keys = sorted(self.model_state.keys())
+        cdtype = compute_dtype_of(cfg)
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def _train_step(params, model_state, opt_state, batch, rng):
+            cbatch = cast_floats(batch, cdtype)
+
             def loss_fn(p):
+                pc = cast_floats(p, cdtype)
                 if mutable_keys:
                     out, new_state = model.apply(
-                        {**p, **model_state},
-                        batch,
+                        {**pc, **model_state},
+                        cbatch,
                         train=True,
                         rngs={"dropout": rng},
                         mutable=mutable_keys,
                     )
                 else:
                     out = model.apply(
-                        {**p, **model_state}, batch, train=True, rngs={"dropout": rng}
+                        {**pc, **model_state}, cbatch, train=True, rngs={"dropout": rng}
                     )
                     new_state = model_state
                 logits = out["logits"] if isinstance(out, dict) else out
+                logits = logits.astype(jnp.float32)
+                out = cast_floats(out, jnp.float32) if cdtype else out
                 loss = task_loss(logits, batch)
                 loss = loss + extra_loss(out, batch)
                 return loss, new_state
@@ -488,8 +511,13 @@ class StandardTrainer(TrainerBase):
 
         @jax.jit
         def _eval_step(params, model_state, batch):
-            out = model.apply({**params, **model_state}, batch, train=False)
-            return out["logits"] if isinstance(out, dict) else out
+            out = model.apply(
+                {**cast_floats(params, cdtype), **model_state},
+                cast_floats(batch, cdtype),
+                train=False,
+            )
+            logits = out["logits"] if isinstance(out, dict) else out
+            return logits.astype(jnp.float32)
 
         self._train_step = _train_step
         self._eval_step = _eval_step

@@ -85,6 +85,8 @@ def moore_penrose_pinv(x: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     Note the reference normalizes by the *global* max over all batch/head
     dims (``torch.max`` with no dim); reproduced faithfully.
     """
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # Newton-Schulz diverges in bf16
     abs_x = jnp.abs(x)
     col = abs_x.sum(axis=-1)
     row = abs_x.sum(axis=-2)
@@ -98,7 +100,7 @@ def moore_penrose_pinv(x: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
             xz = x @ z
             return 0.25 * z @ (13 * eye - (xz @ (15 * eye - (xz @ (7 * eye - xz)))))
 
-    return jax.lax.fori_loop(0, iters, body, z)
+    return jax.lax.fori_loop(0, iters, body, z).astype(in_dtype)
 
 
 def dense_attention(
@@ -288,7 +290,7 @@ class NystromAttention(nn.Module):
             )
             res = jax.lax.conv_general_dilated(
                 v.astype(jnp.float32),
-                w,
+                w.astype(jnp.float32),
                 window_strides=(1, 1),
                 padding=((ksz // 2, ksz // 2), (0, 0)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
@@ -420,7 +422,7 @@ class ExactSelfAttention(nn.Module):
             )
             res = jax.lax.conv_general_dilated(
                 v.astype(jnp.float32),
-                w,
+                w.astype(jnp.float32),
                 window_strides=(1, 1),
                 padding=((ksz // 2, ksz // 2), (0, 0)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),

@@ -251,13 +251,13 @@ class PPEG(nn.Module):
             )
             y = jax.lax.conv_general_dilated(
                 grid.astype(jnp.float32),
-                w,
+                w.astype(jnp.float32),
                 window_strides=(1, 1),
                 padding=((k // 2, k // 2), (k // 2, k // 2)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
                 feature_group_count=C,
             )
-            return (y + bias[None, :, None, None]).astype(x.dtype)
+            return (y + bias.astype(jnp.float32)[None, :, None, None]).astype(x.dtype)
 
         out = dwconv("proj", 7) + grid + dwconv("proj1", 5) + dwconv("proj2", 3)
         out = out.reshape(B, C, H * W).transpose(0, 2, 1)
