@@ -111,6 +111,9 @@ class MBTRAIN(TrainerBase):
         else:
             params = self.model.init(rngs, init_batch, train=True)
         params = replicate_tree(params, self.mesh)
+        from ..utils import count_num_param
+
+        print(f"# params: {count_num_param(params):,}")
 
         updates_per_epoch = max(1, len(self.train_loader))
         if self.is_gan:

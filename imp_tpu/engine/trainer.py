@@ -460,6 +460,9 @@ class StandardTrainer(TrainerBase):
             k: v for k, v in variables.items() if k != "params"
         }  # e.g. batch_stats (HFB's BatchNorm)
         params = {"params": variables["params"]}
+        from ..utils import count_num_param
+
+        print(f"# params: {count_num_param(params):,}")
         self.params = replicate_tree(params, self.mesh)
         self.model_state = replicate_tree(self.model_state, self.mesh)
 
