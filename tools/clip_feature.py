@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--random-weights", action="store_true")
     ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--prec", default="fp32", choices=["fp32", "bf16"],
+                    help="bf16 inference roughly doubles MXU throughput")
     ap.add_argument("--key", default="clip_vit_b32_feature")
     args = ap.parse_args()
 
@@ -90,7 +92,18 @@ def main():
     else:
         raise SystemExit("Provide --checkpoint or --random-weights")
 
-    encode = jax.jit(lambda p, x: model.apply(p, x))
+    if args.prec == "bf16":
+        import jax.numpy as _jnp
+
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(_jnp.bfloat16) if a.dtype == _jnp.float32 else a,
+            params,
+        )
+        encode = jax.jit(
+            lambda p, x: model.apply(p, x.astype(_jnp.bfloat16)).astype(_jnp.float32)
+        )
+    else:
+        encode = jax.jit(lambda p, x: model.apply(p, x))
 
     os.makedirs(args.dst, exist_ok=True)
     slides = sorted(
