@@ -110,6 +110,10 @@ class MBTRAIN(TrainerBase):
             params = self.model.init(rngs, init_batch, method=UMEML_GAN.init_all)
         else:
             params = self.model.init(rngs, init_batch, train=True)
+        if cfg.MODEL.INIT_WEIGHTS:
+            from ..utils.checkpoint import load_pretrained_params
+
+            params = load_pretrained_params(cfg.MODEL.INIT_WEIGHTS, params)
         params = replicate_tree(params, self.mesh)
         from ..utils import count_num_param
 

@@ -460,6 +460,10 @@ class StandardTrainer(TrainerBase):
             k: v for k, v in variables.items() if k != "params"
         }  # e.g. batch_stats (HFB's BatchNorm)
         params = {"params": variables["params"]}
+        if cfg.MODEL.INIT_WEIGHTS:
+            from ..utils.checkpoint import load_pretrained_params
+
+            params = load_pretrained_params(cfg.MODEL.INIT_WEIGHTS, params)
         from ..utils import count_num_param
 
         print(f"# params: {count_num_param(params):,}")

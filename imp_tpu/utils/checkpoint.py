@@ -67,3 +67,50 @@ def resume_from_checkpoint(directory: str, target: Any) -> Tuple[Any, int]:
 def best_checkpoint_path(directory: str) -> Optional[str]:
     best = osp.join(directory, "model-best.ckpt")
     return best if osp.exists(best) else None
+
+
+def load_pretrained_params(fpath: str, params_template):
+    """Initialize model params from a saved checkpoint's ``params`` subtree
+    (reference ``load_pretrained_weights``, ``torchtools.py:267``: partial,
+    non-strict load).  Accepts either a bare state file produced by
+    :func:`save_checkpoint` or a directory containing a ``checkpoint``
+    pointer."""
+    import os.path as _osp
+
+    if _osp.isdir(fpath):
+        with open(_osp.join(fpath, "checkpoint")) as f:
+            fpath = _osp.join(fpath, f.read().strip())
+    from flax import serialization
+
+    with open(fpath, "rb") as f:
+        raw = f.read()
+    # try common layouts: {'state': {...,'params':...}} (MBTRAIN) or
+    # {'params': ...} (StandardTrainer)
+    state = serialization.msgpack_restore(raw)
+    node = state
+    if "state" in node:
+        node = node["state"]
+    if "params" in node and "params" in node["params"]:
+        loaded = node["params"]  # {'params': tree}
+    elif "params" in node:
+        loaded = {"params": node["params"]}
+    else:
+        raise ValueError(f"No params found in checkpoint {fpath}")
+
+    import jax
+
+    def merge(tmpl, got):
+        if isinstance(tmpl, dict):
+            return {
+                k: merge(v, got[k]) if isinstance(got, dict) and k in got else v
+                for k, v in tmpl.items()
+            }
+        if got is not None and tuple(got.shape) == tuple(tmpl.shape):
+            import jax.numpy as jnp
+
+            return jnp.asarray(got, tmpl.dtype)
+        return tmpl
+
+    merged = merge(params_template, loaded)
+    print(f"Initialized weights from {fpath} (non-strict)")
+    return merged

@@ -137,3 +137,25 @@ def test_mbtrain_umeml_gan_grading(synth_root, tmp_path):
     trainer = build_trainer(cfg)
     result = trainer.train()
     assert np.isfinite(result)
+
+
+def test_model_init_weights(synth_root, tmp_path):
+    """MODEL.INIT_WEIGHTS loads a previous run's params into a new trainer
+    (reference load_pretrained_weights semantics)."""
+    cfg = _cfg(synth_root, tmp_path, "ABMIL", task="Survival", epochs=1)
+    cfg.TEST.EVALUATOR = "Survival"
+    cfg.TASK.LOSS = "nllsurvloss"
+    cfg.TEST.NO_TEST = True
+    trainer = build_trainer(cfg)
+    trainer.train()
+
+    cfg2 = _cfg(synth_root, tmp_path / "b", "ABMIL", task="Survival", epochs=1)
+    cfg2.TEST.EVALUATOR = "Survival"
+    cfg2.TASK.LOSS = "nllsurvloss"
+    cfg2.MODEL.INIT_WEIGHTS = str(tmp_path / "out" / "model")
+    trainer2 = build_trainer(cfg2)
+    import jax
+
+    a = jax.tree_util.tree_leaves(trainer.params)[0]
+    b = jax.tree_util.tree_leaves(trainer2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
