@@ -446,19 +446,20 @@ class MBTRAIN(TrainerBase):
         num_batches = len(self.train_loader)
         n_slides = 0
         step = self._train_steps[bool(train_gan)]
-        pending = []  # (batch_idx, device metrics, device importance pair)
+        pending = []  # (batch_idx, true batch size, device metrics, device imp)
 
         def flush():
             if not pending:
                 return
-            host = jax.device_get([(m, imp) for _, m, imp in pending])
-            for (bi, _, _), (metrics, imp) in zip(pending, host):
+            host = jax.device_get([(m, imp) for _, _, m, imp in pending])
+            for (bi, b, _, _), (metrics, imp) in zip(pending, host):
                 metrics = {k: float(v) for k, v in metrics.items()}
                 if not np.isfinite(metrics["loss"]):
                     raise FloatingPointError("Loss is infinite or NaN!")
                 losses.update(metrics)
                 if imp is not None:
-                    self._dump_importance("train", imp[0], imp[1])
+                    # drop wrap-pad rows (device_batch) from the dump
+                    self._dump_importance("train", imp[0][:b], imp[1][:b])
                 n_iter = self.epoch * num_batches + bi
                 for name, value in metrics.items():
                     self.writer.write_scalar("train/" + name, value, n_iter)
@@ -474,7 +475,7 @@ class MBTRAIN(TrainerBase):
             else:
                 self.state, metrics = step(self.state, db, self.next_rng())
                 imp = None
-            pending.append((batch_idx, metrics, imp))
+            pending.append((batch_idx, len(batch["patient_id"]), metrics, imp))
             n_slides += len(batch["patient_id"])
             batch_time.update(_time.time() - end)
 
@@ -617,9 +618,10 @@ class MBTRAIN(TrainerBase):
             pending.append(((logits, imp_p, imp_o), batch))
         host = jax.device_get([p for p, _ in pending])
         for (logits, imp_p, imp_o), (_, batch) in zip(host, pending):
+            b = len(batch["patient_id"])  # drop wrap-pad rows (device_batch)
             if imp_p is not None:
-                self._dump_importance(split, imp_p, imp_o)
-            self.process_eval_batch(np.asarray(logits), batch)
+                self._dump_importance(split, imp_p[:b], imp_o[:b])
+            self.process_eval_batch(np.asarray(logits)[:b], batch)
 
         results = self.evaluator.evaluate()
         for k, v in results.items():
@@ -682,9 +684,10 @@ class MBTRAIN(TrainerBase):
             pending.append(((logits, imp_p, imp_o), batch))
         host = jax.device_get([p for p, _ in pending])
         for (logits, imp_p, imp_o), (_, batch) in zip(host, pending):
+            b = len(batch["patient_id"])  # drop wrap-pad rows (device_batch)
             if imp_p is not None:
-                self._dump_importance("test_new", imp_p, imp_o)
-            self.process_eval_batch(np.asarray(logits), batch)
+                self._dump_importance("test_new", imp_p[:b], imp_o[:b])
+            self.process_eval_batch(np.asarray(logits)[:b], batch)
 
         results = self.evaluator.evaluate()
         for k, v in results.items():

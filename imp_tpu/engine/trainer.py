@@ -48,11 +48,45 @@ ARRAY_KEYS = (
 )
 
 
+#: batch fields that are NOT per-sample (replicated instead of dim-0 sharded)
+REPLICATED_KEYS = ("omic_means",)
+
+
+def pad_ragged_dim0(arrays: Dict, n_shards: int) -> Dict:
+    """Wrap-pad every leaf's dim 0 to a multiple of ``n_shards``.
+
+    Pad rows repeat real samples (``idx % B``), so every batch genuinely
+    shards over the data axis.  When the padded size is an exact multiple of
+    the true batch (e.g. batch 2 or 4 on an 8-device mesh) each sample is
+    duplicated uniformly and batch-mean losses/gradients are *identical* to
+    the unpadded step; for uneven wraps (e.g. a ragged last batch of 3) the
+    last batch's per-sample weighting differs slightly from a ragged
+    single-device step — documented in PARITY.md.  Eval paths drop the pad
+    rows after readback, so metrics are exact.
+    """
+    if not arrays:
+        return arrays
+    b = int(np.asarray(next(iter(arrays.values()))).shape[0])
+    pad = (-b) % n_shards
+    if pad == 0:
+        return arrays
+    idx = np.arange(b + pad) % b
+    return {k: np.asarray(v)[idx] for k, v in arrays.items()}
+
+
 def device_batch(batch: Dict, mesh) -> Dict:
-    """Ship array fields to the mesh (dim 0 sharded over 'data'); keep host
-    fields (patient_id, index) on host."""
+    """Ship array fields to the mesh (dim 0 sharded over 'data', wrap-padded
+    to the data-axis size; REPLICATED_KEYS replicated); keep host fields
+    (patient_id, index) on host."""
     arrays = {k: v for k, v in batch.items() if k in ARRAY_KEYS}
-    return shard_batch(arrays, mesh)
+    repl = {k: arrays.pop(k) for k in REPLICATED_KEYS if k in arrays}
+    n_shards = int(mesh.shape.get("data", 1))
+    if n_shards > 1:
+        arrays = pad_ragged_dim0(arrays, n_shards)
+    out = shard_batch(arrays, mesh)
+    if repl:
+        out.update(replicate_tree(repl, mesh))
+    return out
 
 
 class DeviceBagCache:
@@ -383,7 +417,10 @@ class TrainerBase:
         for logits, batch in zip(
             jax.device_get([l for l, _ in pending]), [b for _, b in pending]
         ):
-            self.process_eval_batch(np.asarray(logits), batch)
+            # drop wrap-pad rows added by device_batch for ragged batches
+            self.process_eval_batch(
+                np.asarray(logits)[: len(batch["patient_id"])], batch
+            )
         results = self.evaluator.evaluate()
         for k, v in results.items():
             if self.writer:

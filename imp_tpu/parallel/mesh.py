@@ -72,10 +72,16 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
     def _put(x):
         x = np.asarray(x)
-        # ragged batches (last batch of an epoch, tiny tests) fall back to
-        # replication — correct, just not parallel for that batch
-        if x.ndim == 0 or x.shape[0] % n_shards != 0:
+        if x.ndim == 0:
             return jax.device_put(x, repl)
+        if x.shape[0] % n_shards != 0:
+            # no silent replication fallback: a batch that cannot shard is a
+            # bug at the call site (engine.trainer.device_batch wrap-pads
+            # ragged batches before calling this)
+            raise ValueError(
+                f"batch dim 0 ({x.shape[0]}) not divisible by data-axis size "
+                f"{n_shards}; pad the batch or replicate explicitly"
+            )
         if multi_host:
             # each host feeds its local slice of the global batch (the data
             # pipeline already loads per-host shards via host_local_slice)
