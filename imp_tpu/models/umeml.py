@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from ..ops.attention import TorchLinear, TransLayer
 from ..ops.blocks import BilinearFusion
-from ..ops.modularity import compute_modularity
+from ..ops.modularity import compute_modularity_pair
 from .layers import (
     Block,
     BottleneckAttentionBlock,
@@ -90,9 +90,9 @@ class UMEML(nn.Module):
 
         modular_loss = jnp.zeros(())
         if train:
-            modular_loss = compute_modularity(
-                p_proto, h_path_bag, valid=mask
-            ) + compute_modularity(h_omic, h_path_bag, valid=mask)
+            modular_loss = compute_modularity_pair(
+                (p_proto, h_omic), h_path_bag, valid=mask
+            )
 
         if fusion == "bilinear":
             hfused = BilinearFusion(

@@ -42,7 +42,7 @@ from flax import linen as nn
 from ..losses.survival import kd_loss as kd_loss_fn
 from ..ops.attention import TorchLinear, TransLayer
 from ..ops.blocks import BilinearFusion
-from ..ops.modularity import compute_modularity
+from ..ops.modularity import compute_modularity_pair
 from .layers import (
     Block,
     BottleneckAttentionBlock,
@@ -345,9 +345,9 @@ class UMEML_GAN(nn.Module):
         modular_loss = jnp.zeros(())
         if train:
             mask = batch.get("img_mask")
-            modular_loss = compute_modularity(
-                enc["p_proto"], enc["h_path_bag"], valid=mask
-            ) + compute_modularity(h_omic, enc["h_path_bag"], valid=mask)
+            modular_loss = compute_modularity_pair(
+                (enc["p_proto"], h_omic), enc["h_path_bag"], valid=mask
+            )
         out["modular_loss"] = modular_loss
         out["h_path"] = h_path
         out["h_omic"] = h_omic

@@ -157,6 +157,131 @@ def test_modularity_matches_naive_and_mask_invariance():
     assert got_masked == pytest.approx(want, rel=1e-4)
 
 
+def _dense_modularity(c, x, valid=None, temp=0.1):
+    """Dense jnp transcription of the same math (plain AD, no streaming)."""
+    import jax
+
+    x = jax.lax.stop_gradient(x)
+    nx = x / jnp.maximum(jnp.linalg.norm(x, axis=2, keepdims=True), 1e-12)
+    if valid is not None:
+        nx = nx * valid[..., None]
+    n = x.shape[1]
+    A = jnp.clip(jnp.einsum("bnd,bmd->bnm", nx, nx), 0.0, None)
+    A = A * (1.0 - jnp.eye(n))
+    deg = A.sum(axis=2)
+    e = jnp.maximum(deg.sum(axis=1), 1e-12)
+    nc = c / jnp.maximum(jnp.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    C = jnp.clip(jnp.einsum("bnd,bpd->bpn", nx, nc), 0.0, None)
+    cc = jnp.max(C[:, :, :, None] * C[:, :, None, :], axis=1)
+    delta = jnp.tanh(cc / temp)
+    s1 = jnp.sum(A * delta, axis=(1, 2))
+    q = jnp.einsum("bi,bij,bj->b", deg, delta, deg)
+    return -jnp.mean((s1 - q / e) / e) * 100.0
+
+
+def test_modularity_streamed_gradient_matches_dense_ad():
+    """The streaming custom_vjp backward (ops/modularity.py) must agree with
+    plain autodiff through the dense formulation."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 20, 16)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(2, 3, 16)).astype(np.float32))
+    valid = jnp.asarray(np.arange(20)[None, :] < np.array([[14], [20]]))
+
+    got_val = float(compute_modularity(c, x, valid=valid))
+    want_val = float(_dense_modularity(c, x, valid=valid))
+    assert got_val == pytest.approx(want_val, rel=1e-5)
+
+    g = np.asarray(jax.grad(lambda cj: compute_modularity(cj, x, valid=valid))(c))
+    g_dense = np.asarray(jax.grad(lambda cj: _dense_modularity(cj, x, valid=valid))(c))
+    np.testing.assert_allclose(g, g_dense, rtol=1e-4, atol=1e-5)
+
+
+def test_modularity_multiblock_matches_single_block():
+    """Values must not depend on the streaming block size (row padding and
+    per-block accumulation are exact)."""
+    from imp_tpu.ops import modularity as M
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 50, 8)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(2, 4, 8)).astype(np.float32))
+    got = float(compute_modularity(c, x))
+    orig = M._BLOCK
+    try:
+        M._BLOCK = 16  # forces 4 row blocks with padding (50 -> 64)
+        got_blocked = float(compute_modularity(c, x))
+    finally:
+        M._BLOCK = orig
+    assert got_blocked == pytest.approx(got, rel=1e-5)
+
+
+def test_modularity_pair_matches_two_single_calls():
+    """The fused shared-bag variant must equal the sum of single calls, for
+    values and gradients."""
+    import jax
+
+    from imp_tpu.ops import compute_modularity_pair
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 30, 16)).astype(np.float32))
+    c1 = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
+    c2 = jnp.asarray(rng.normal(size=(2, 7, 16)).astype(np.float32))
+    valid = jnp.asarray(np.arange(30)[None, :] < np.array([[21], [30]]))
+
+    def pair(c1, c2):
+        return compute_modularity_pair((c1, c2), x, valid=valid)
+
+    def singles(c1, c2):
+        return compute_modularity(c1, x, valid=valid) + compute_modularity(
+            c2, x, valid=valid
+        )
+
+    vp, (g1p, g2p) = jax.value_and_grad(pair, argnums=(0, 1))(c1, c2)
+    vs, (g1s, g2s) = jax.value_and_grad(singles, argnums=(0, 1))(c1, c2)
+    assert float(vp) == pytest.approx(float(vs), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g1p), np.asarray(g1s), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2p), np.asarray(g2s), rtol=1e-4, atol=1e-6)
+
+
+def test_modularity_pallas_backend_matches_scan():
+    """The Pallas TPU kernels (run in interpreter mode on CPU) must match the
+    scan backend — including masked slides (tile skipping) and multi-set
+    fusion."""
+    import jax
+
+    from imp_tpu.ops import modularity as M
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(size=(2, 50, 16)).astype(np.float32))
+    c1 = jnp.asarray(rng.normal(size=(2, 3, 16)).astype(np.float32))
+    c2 = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    # slide 0 masked to 18 of 50 tokens -> several fully-masked tiles
+    valid = jnp.asarray(np.arange(50)[None, :] < np.array([[18], [50]]))
+    nx = M._l2_normalize(x, axis=2) * valid[..., None]
+    Cs = []
+    for c in (c1, c2):
+        nc = c / jnp.maximum(jnp.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        Cs.append(jax.nn.relu(jnp.einsum("bnd,bpd->bpn", nx, nc)))
+
+    orig = M._BLOCK
+    try:
+        M._BLOCK = 16
+        t_scan, d_scan = M._scan_passes(nx, Cs, 0.1)
+        t_pal, d_pal = M._pallas_passes(nx, Cs, 0.1, interpret=True)
+    finally:
+        M._BLOCK = orig
+    for ts, tp in zip(t_scan, t_pal):
+        # tile skipping changes the fp summation order slightly
+        np.testing.assert_allclose(
+            np.asarray(tp), np.asarray(ts), rtol=1e-4, atol=1e-6
+        )
+    for ds, dp in zip(d_scan, d_pal):
+        np.testing.assert_allclose(
+            np.asarray(dp), np.asarray(ds), rtol=1e-4, atol=1e-6
+        )
+
+
 def _naive_greedy(sim, k):
     sim = np.asarray(sim).copy()
     order = np.argsort(sim, axis=None)[::-1]
