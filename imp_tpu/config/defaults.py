@@ -107,6 +107,17 @@ def get_cfg_default() -> CN:
     _C.MODEL.BACKBONE.NAME = ""
     _C.MODEL.BACKBONE.CLIP = "ViT-B/16"
     _C.MODEL.BACKBONE.PRETRAINED = True
+    # path to an OpenAI CLIP torch state_dict for CLIPOMIC's frozen text
+    # tower ("" = random init; the reference downloads it,
+    # ref engine/clipomic.py:18-33)
+    _C.MODEL.BACKBONE.CLIP_CHECKPOINT = ""
+    # CLIPOMIC text-tower architecture (defaults = CLIP ViT-B text config;
+    # shrink for tests)
+    _C.MODEL.BACKBONE.TEXT_WIDTH = 512
+    _C.MODEL.BACKBONE.TEXT_HEADS = 8
+    _C.MODEL.BACKBONE.TEXT_LAYERS = 12
+    _C.MODEL.BACKBONE.TEXT_VOCAB = 49408
+    _C.MODEL.BACKBONE.TEXT_CONTEXT = 77
     _C.MODEL.MIL = CN()
     _C.MODEL.MIL.NAME = ""
     _C.MODEL.NAME = "abmil"

@@ -475,6 +475,17 @@ class StandardTrainer(TrainerBase):
         """Hook for auxiliary losses (e.g. CMTA's alignment terms)."""
         return 0.0
 
+    def init_network_params(self, params):
+        """Hook: transform freshly-initialized params (e.g. graft pretrained
+        weights).  Runs after MODEL.INIT_WEIGHTS loading."""
+        return params
+
+    def param_labels(self, params):
+        """Hook: optax.multi_transform labels ('train' / 'frozen') or None.
+        'frozen' params receive zero updates (no decay either) — the
+        functional equivalent of torch requires_grad_(False)."""
+        return None
+
     def network_num_classes(self):
         from ..models.nets import survival_num_classes
 
@@ -501,6 +512,7 @@ class StandardTrainer(TrainerBase):
             from ..utils.checkpoint import load_pretrained_params
 
             params = load_pretrained_params(cfg.MODEL.INIT_WEIGHTS, params)
+        params = self.init_network_params(params)
         from ..utils import count_num_param
 
         print(f"# params: {count_num_param(params):,}")
@@ -511,6 +523,20 @@ class StandardTrainer(TrainerBase):
             1, -(-len(self.train_loader) // max(1, cfg.OPTIM.GRAD_ACCUM))
         )
         tx = build_optimizer(cfg.OPTIM, updates_per_epoch)
+        labels = self.param_labels(params)
+        if labels is not None:
+            n_frozen = sum(
+                int(np.prod(l.shape))
+                for l, lab in zip(
+                    jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(labels),
+                )
+                if lab == "frozen"
+            )
+            print(f"# frozen params: {n_frozen:,}")
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()}, labels
+            )
         if cfg.OPTIM.GRAD_ACCUM > 1:
             tx = optax.MultiSteps(tx, cfg.OPTIM.GRAD_ACCUM)
         self.tx = tx

@@ -238,6 +238,8 @@ def convert_torch_clip_state(
 
     c = CLIP_CONFIGS[name]
     vis: Dict = {}
+    if "visual.conv1.weight" not in state:
+        return {"params": vis}, _convert_text(state, get, c)
     vis["conv1_kernel"] = get("visual.conv1.weight").transpose(2, 3, 1, 0)
     vis["class_embedding"] = get("visual.class_embedding")
     vis["positional_embedding"] = get("visual.positional_embedding")
@@ -264,6 +266,10 @@ def convert_torch_clip_state(
             },
         }
 
+    return {"params": vis}, _convert_text(state, get, c)
+
+
+def _convert_text(state, get, c) -> Dict:
     txt: Dict = {}
     if "token_embedding.weight" in state:
         txt["token_embedding"] = get("token_embedding.weight")
@@ -272,7 +278,12 @@ def convert_torch_clip_state(
         txt["ln_final"] = {
             "scale": get("ln_final.weight"), "bias": get("ln_final.bias")
         }
-        for i in range(c["transformer_layers"]):
+        # infer the layer count from the state dict (supports shrunken test
+        # towers as well as the stock 12-layer CLIP text transformer)
+        n_layers = 0
+        while f"transformer.resblocks.{n_layers}.ln_1.weight" in state:
+            n_layers += 1
+        for i in range(n_layers or c["transformer_layers"]):
             p = f"transformer.resblocks.{i}."
             txt[f"resblocks_{i}"] = {
                 "ln_1": {"scale": get(p + "ln_1.weight"), "bias": get(p + "ln_1.bias")},
@@ -291,4 +302,4 @@ def convert_torch_clip_state(
                     ),
                 },
             }
-    return {"params": vis}, {"params": txt}
+    return {"params": txt}

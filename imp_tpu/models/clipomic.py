@@ -65,7 +65,10 @@ class CLIPOMIC(nn.Module):
             "positional_embedding", nn.initializers.normal(0.01),
             (self.context_length, self.width),
         )
-        ids = jnp.asarray(self.prompt_ids, jnp.int32)
+        # clamp for shrunken test vocabularies; real CLIP vocab is unaffected
+        ids = jnp.clip(
+            jnp.asarray(self.prompt_ids, jnp.int32), 0, self.vocab_size - 1
+        )
         prompt_embed = tok[ids]  # [4, width]
         prefix = prompt_embed[:1]  # SOS
         suffix = prompt_embed[2:]  # ". EOS"
