@@ -139,6 +139,55 @@ def test_mbtrain_umeml_gan_grading(synth_root, tmp_path):
     assert np.isfinite(result)
 
 
+def test_mbtrain_umeml_nongan_survival(synth_root, tmp_path):
+    """UMEML (no GAN) under MBTRAIN: single-optimizer jitted step, modularity
+    pair, Survival_UMEML evaluator (ref ``models/umeml.py`` + MBTRAIN)."""
+    cfg = _cfg(
+        synth_root, tmp_path, "MBTRAIN", model_name="umeml", task="Survival",
+        epochs=2,
+    )
+    trainer = build_trainer(cfg)
+    result = trainer.train()
+    assert np.isfinite(result)
+    assert osp.exists(osp.join(cfg.OUTPUT_DIR, "model", "checkpoint"))
+
+
+def test_snnm_grading_end_to_end(synth_root, tmp_path):
+    """SNNM trainer (chunked SNN + gated pooling, ref ``engine/snnm.py``)."""
+    cfg = _cfg(
+        synth_root, tmp_path, "SNNM", task="Grading", dataset="TCGA_Glioma_G",
+        epochs=2,
+    )
+    trainer = build_trainer(cfg)
+    result = trainer.train()
+    assert np.isfinite(result)
+
+
+def test_abmil_classification_end_to_end(synth_root, tmp_path):
+    """Classification task (6-class integrated diagnosis) end to end."""
+    cfg = _cfg(
+        synth_root, tmp_path, "ABMIL", task="Classification",
+        dataset="TCGA_Glioma_C", epochs=2,
+    )
+    trainer = build_trainer(cfg)
+    assert trainer.num_classes == 6
+    result = trainer.train()
+    assert np.isfinite(result)
+
+
+def test_porpoise_subtyping_end_to_end(synth_root, tmp_path):
+    """Subtyping task through a fusion trainer end to end."""
+    cfg = _cfg(
+        synth_root, tmp_path, "Porpoise", task="Subtyping",
+        dataset="TCGA_Glioma_Sub", epochs=2,
+    )
+    cfg.MODEL.FUSION = "bilinear"
+    trainer = build_trainer(cfg)
+    assert trainer.num_classes == 3
+    result = trainer.train()
+    assert np.isfinite(result)
+
+
 def test_model_init_weights(synth_root, tmp_path):
     """MODEL.INIT_WEIGHTS loads a previous run's params into a new trainer
     (reference load_pretrained_weights semantics)."""
