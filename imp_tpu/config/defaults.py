@@ -87,6 +87,7 @@ def get_cfg_default() -> CN:
     _C.DATALOADER = CN()
     _C.DATALOADER.NUM_WORKERS = 4
     _C.DATALOADER.CACHE = True  # in-memory bag cache (fits: bags are features)
+    _C.DATALOADER.CACHE_GB = 8.0  # host bag-cache budget in GiB (LRU eviction)
     _C.DATALOADER.DEVICE_CACHE = True  # device-resident bag cache (single-chip
     # meshes; upload each slide once instead of re-transferring every epoch)
     _C.DATALOADER.K_TRANSFORMS = 1

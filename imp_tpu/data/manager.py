@@ -20,6 +20,7 @@ from __future__ import annotations
 import os.path as osp
 import queue
 import threading
+from collections import OrderedDict
 from typing import Dict, List, Optional
 
 import h5py
@@ -63,7 +64,15 @@ class SlideDataset:
         self.h5_key = cfg.DATASET.H5_KEY
         self.bag_pad = int(cfg.DATASET.BAG_PAD)
         self.is_survival = cfg.TASK.NAME == "Survival"
-        self._cache: Optional[Dict[int, Dict]] = {} if cache else None
+        # LRU host cache with a byte budget: at the reference envelope
+        # (10k x 512 fp32 bags ~ 20 MB/slide) an unbounded cache OOMs a
+        # real run, so evict least-recently-used slides past CACHE_GB.
+        self._cache: Optional[OrderedDict] = OrderedDict() if cache else None
+        self._cache_budget = int(
+            float(getattr(cfg.DATALOADER, "CACHE_GB", 8.0)) * (1 << 30)
+        )
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
 
     def __len__(self):
         return len(self.data_source)
@@ -75,9 +84,18 @@ class SlideDataset:
         mol = pd.read_csv(item.molpath)["fpkm_uq_unstranded"].to_numpy(np.float32)
         return bag, mol
 
+    @staticmethod
+    def _nbytes(sample: Dict) -> int:
+        return sum(
+            v.nbytes for v in sample.values() if isinstance(v, np.ndarray)
+        )
+
     def __getitem__(self, idx: int) -> Dict:
-        if self._cache is not None and idx in self._cache:
-            return self._cache[idx]
+        if self._cache is not None:
+            with self._cache_lock:
+                if idx in self._cache:
+                    self._cache.move_to_end(idx)
+                    return self._cache[idx]
         item = self.data_source[idx]
         bag, mol = self._load_raw(idx)
         n = min(bag.shape[0], self.bag_pad)
@@ -98,7 +116,15 @@ class SlideDataset:
             out["survival_month"] = np.float32(item.survival["survival_months"])
             out["censorship"] = np.float32(item.survival["censorship"])
         if self._cache is not None:
-            self._cache[idx] = out
+            size = self._nbytes(out)
+            if size <= self._cache_budget:
+                with self._cache_lock:
+                    if idx not in self._cache:
+                        self._cache[idx] = out
+                        self._cache_bytes += size
+                    while self._cache_bytes > self._cache_budget and self._cache:
+                        _, evicted = self._cache.popitem(last=False)
+                        self._cache_bytes -= self._nbytes(evicted)
         return out
 
     def get_event_and_censorship(self):

@@ -31,6 +31,7 @@ TPU-native design decisions:
 
 from __future__ import annotations
 
+import os
 import os.path as osp
 from functools import partial
 from typing import Dict, List, Optional
@@ -81,14 +82,14 @@ class MBTRAIN(TrainerBase):
     """Trainer for the UMEML family."""
 
     def check_cfg(self, cfg):
-        assert cfg.MODEL.NAME in ("umeml", "umeml_gan")
+        assert cfg.MODEL.NAME in ("umeml", "umeml_gan", "umeml_gan_plot")
 
     # ------------------------------------------------------------------ #
     # model / optimizers / jitted steps                                   #
     # ------------------------------------------------------------------ #
     def build_model(self):
         cfg = self.cfg
-        self.is_gan = cfg.MODEL.NAME == "umeml_gan"
+        self.is_gan = cfg.MODEL.NAME in ("umeml_gan", "umeml_gan_plot")
         num_classes = survival_num_classes(cfg.TASK.NAME, self.num_classes)
         self.model = build_model(
             cfg.MODEL.NAME,
@@ -167,6 +168,15 @@ class MBTRAIN(TrainerBase):
         main_tx = self.main_tx
         is_gan = self.is_gan
         cdtype = compute_dtype_of(self.cfg)
+        # TPU.DONATE: free the old train-state buffers inside the jitted step
+        # (halves peak optimizer-state HBM). TPU.REMAT: rematerialize the
+        # forward in the backward pass instead of saving activations — trades
+        # FLOPs for HBM on 10k-token bags.
+        donate = (0,) if bool(self.cfg.TPU.DONATE) else ()
+        remat = bool(self.cfg.TPU.REMAT)
+
+        def _maybe_remat(fn):
+            return jax.checkpoint(fn) if remat else fn
 
         def _amp_apply(p, batch, **kw):
             """model.apply under the precision policy: params/batch cast to
@@ -176,10 +186,14 @@ class MBTRAIN(TrainerBase):
 
         if not is_gan:
 
-            @partial(jax.jit, donate_argnums=(0,))
+            @partial(jax.jit, donate_argnums=donate)
             def train_step(state, batch, rng):
                 def loss_fn(p):
-                    out = _amp_apply(p, batch, train=True, rngs={"dropout": rng})
+                    out = _maybe_remat(
+                        lambda q: _amp_apply(
+                            q, batch, train=True, rngs={"dropout": rng}
+                        )
+                    )(p)
                     loss = task_loss(out["logits"], batch) + out["modular_loss"]
                     return loss, out
 
@@ -205,7 +219,7 @@ class MBTRAIN(TrainerBase):
         main_keys = self.main_keys
 
         def _make(train_gan: bool):
-            @partial(jax.jit, donate_argnums=(0,))
+            @partial(jax.jit, donate_argnums=donate)
             def train_step(state, batch, rng, replace_ratio):
                 params = state["params"]
                 rng_d, rng_g = jax.random.split(rng)
@@ -264,13 +278,15 @@ class MBTRAIN(TrainerBase):
                 mg_sub = _take(params, main_keys)
 
                 def main_fn(sub):
-                    out = _amp_apply(
-                        _merge(params, sub),
-                        batch,
-                        train=True,
-                        replace_ratio=replace_ratio,
-                        rngs={"dropout": rng_d, "gan": rng_g},
-                    )
+                    out = _maybe_remat(
+                        lambda s: _amp_apply(
+                            _merge(params, s),
+                            batch,
+                            train=True,
+                            replace_ratio=replace_ratio,
+                            rngs={"dropout": rng_d, "gan": rng_g},
+                        )
+                    )(sub)
                     loss = (
                         task_loss(out["logits"], batch)
                         + out["modular_loss"]
@@ -353,7 +369,7 @@ class MBTRAIN(TrainerBase):
                 sub, params, batch, rng, g_hp, g_ho, w_sim
             )
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
         def cca_apply(params, cca_opt_state, grad_sum, tx_placeholder=None):
             sub = _take(params, main_keys)
             updates, cca_opt_state = self.cca_tx.update(grad_sum, cca_opt_state, sub)
@@ -627,6 +643,8 @@ class MBTRAIN(TrainerBase):
         for k, v in results.items():
             if self.writer:
                 self.writer.write_scalar(f"{split}/{k}", v, self.epoch)
+        if self.cfg.MODEL.NAME.endswith("_plot"):
+            self._plot_similarity(split, loader)
         return list(results.values())[0]
 
     def eval_logits(self, batch, split, batch_index):  # pragma: no cover
@@ -707,6 +725,79 @@ class MBTRAIN(TrainerBase):
             with open(files[mod], "a") as f:
                 for row in arr:
                     f.write(" ".join(str(float(x)) for x in row) + "\n")
+
+    def _plot_similarity(self, split: str, loader):
+        """Per-sample path x omic similarity grids (the ``umeml_gan_plot``
+        variant, ref ``umeml_gan_plot.py:124-168``): one ``sim_<patient>.png``
+        block grid per eval sample. The grid is sown inside the jitted
+        bottleneck forward and rendered on host afterwards — no host I/O
+        inside the compiled step, unlike the reference."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from matplotlib import patches as mpatches
+        except Exception:
+            return
+        model = self.model
+        if not hasattr(self, "_sim_step"):
+
+            @jax.jit
+            def sim_step(params, batch):
+                _, inter = model.apply(
+                    params, batch, train=False, mutable=["intermediates"]
+                )
+                leaves = [
+                    v
+                    for path, v in jax.tree_util.tree_leaves_with_path(inter)
+                    if any(
+                        getattr(k, "key", None) == "similarity" for k in path
+                    )
+                ]
+                return leaves[0] if leaves else None
+
+            self._sim_step = sim_step
+
+        plot_dir = osp.join(self.output_dir, "plots")
+        os.makedirs(plot_dir, exist_ok=True)
+        for batch in loader:
+            hb = self._host_batch(batch, train=False)
+            db = self._to_device_mb(hb, batch, split)
+            sim = self._sim_step(self.state["params"], db)
+            if sim is None:
+                return
+            sim = np.asarray(sim)
+            for i, pid in enumerate(batch["patient_id"]):
+                grid = sim[i]
+                grid = (grid - grid.min()) / (grid.max() - grid.min() + 1e-6)
+                grid = grid * 0.5 + 0.5  # ref rescale into the upper Blues half
+                gap, block = 5, 20
+                fig_size = (block + gap) * grid.shape[1] / 100
+                fig, ax = plt.subplots(figsize=(fig_size, fig_size), dpi=100)
+                for r in range(grid.shape[0]):
+                    for c in range(grid.shape[1]):
+                        ax.add_patch(
+                            mpatches.Rectangle(
+                                (c * (block + gap), r * (block + gap)),
+                                block,
+                                block,
+                                linewidth=0,
+                                facecolor=plt.cm.Blues(grid[r, c]),
+                            )
+                        )
+                ax.set_xlim(0, grid.shape[1] * (block + gap))
+                ax.set_ylim(0, grid.shape[0] * (block + gap))
+                ax.invert_yaxis()
+                ax.axis("off")
+                fig.patch.set_alpha(0.0)
+                fig.savefig(
+                    osp.join(plot_dir, f"sim_{pid}.png"),
+                    bbox_inches="tight",
+                    pad_inches=0.1,
+                    transparent=True,
+                )
+                plt.close(fig)
 
     def _plot_importance(self):
         """Render the epoch's importance matrices to PNGs

@@ -545,26 +545,36 @@ class StandardTrainer(TrainerBase):
         model, task_loss, extra_loss = self.model, self.task_loss, self.extra_loss
         mutable_keys = sorted(self.model_state.keys())
         cdtype = compute_dtype_of(cfg)
+        # TPU.DONATE frees old param/opt buffers in-place; TPU.REMAT
+        # rematerializes the forward during backward (HBM for FLOPs).
+        donate = (0, 1, 2) if bool(cfg.TPU.DONATE) else ()
+        remat = bool(cfg.TPU.REMAT)
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        @partial(jax.jit, donate_argnums=donate)
         def _train_step(params, model_state, opt_state, batch, rng):
             cbatch = cast_floats(batch, cdtype)
 
-            def loss_fn(p):
-                pc = cast_floats(p, cdtype)
+            def _fwd(pc):
                 if mutable_keys:
-                    out, new_state = model.apply(
+                    return model.apply(
                         {**pc, **model_state},
                         cbatch,
                         train=True,
                         rngs={"dropout": rng},
                         mutable=mutable_keys,
                     )
-                else:
-                    out = model.apply(
+                return (
+                    model.apply(
                         {**pc, **model_state}, cbatch, train=True, rngs={"dropout": rng}
-                    )
-                    new_state = model_state
+                    ),
+                    model_state,
+                )
+
+            fwd = jax.checkpoint(_fwd) if remat else _fwd
+
+            def loss_fn(p):
+                pc = cast_floats(p, cdtype)
+                out, new_state = fwd(pc)
                 logits = out["logits"] if isinstance(out, dict) else out
                 logits = logits.astype(jnp.float32)
                 out = cast_floats(out, jnp.float32) if cdtype else out

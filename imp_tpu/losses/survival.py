@@ -152,6 +152,48 @@ def cca_loss(X: jnp.ndarray, Y: jnp.ndarray, epsilon: float = 1e-8) -> jnp.ndarr
     return 1.0 / (s.sum() / s.size + epsilon)
 
 
+def kl_loss(y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:
+    """sum-reduced KL(softmax(y) || softmax(y_hat)) — reference ``KLLoss``
+    (``medmm/loss/loss.py:195-197``; defined but unused by live configs)."""
+    p = jax.nn.softmax(y, axis=-1)
+    return jnp.sum(p * (jnp.log(p) - jax.nn.log_softmax(y_hat, axis=-1)))
+
+
+def cosine_loss(y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:
+    """1 - cosine_similarity(y, y_hat) per row — reference ``CosineLoss``
+    (``medmm/loss/loss.py:200-202``)."""
+    return 1.0 - _cosine_sim(y, y_hat)
+
+
+def _cosine_sim(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    na = jnp.linalg.norm(a, axis=1).clip(eps)
+    nb = jnp.linalg.norm(b, axis=1).clip(eps)
+    return jnp.sum(a * b, axis=1) / (na * nb)
+
+
+def orthogonal_loss(
+    P: jnp.ndarray,
+    P_hat: jnp.ndarray,
+    G: jnp.ndarray,
+    G_hat: jnp.ndarray,
+    gamma: float = 0.5,
+) -> jnp.ndarray:
+    """Reference ``OrthogonalLoss`` (``medmm/loss/loss.py:205-221``): pull
+    reconstructions toward their (detached) sources, push cross-modal
+    directions apart. Per-row vector, like the torch module."""
+    P_d = jax.lax.stop_gradient(P)
+    G_d = jax.lax.stop_gradient(G)
+    pos = (1.0 - jnp.abs(_cosine_sim(P_d, P_hat))) + (
+        1.0 - jnp.abs(_cosine_sim(G_d, G_hat))
+    )
+    neg = (
+        jnp.abs(_cosine_sim(P, G))
+        + jnp.abs(_cosine_sim(P_d, G_hat))
+        + jnp.abs(_cosine_sim(G_d, P_hat))
+    )
+    return pos + gamma * neg
+
+
 def similarity_alignment_loss(
     p_proto_flat: jnp.ndarray, h_omic_flat: jnp.ndarray
 ) -> jnp.ndarray:

@@ -51,6 +51,19 @@ def umeml_gan(cfg=None, num_classes=0, gene_group_indexes=(), **kwargs):
     )
 
 
+@MODEL_REGISTRY.register_as("umeml_gan_plot")
+def umeml_gan_plot(cfg=None, num_classes=0, gene_group_indexes=(), **kwargs):
+    """Reference ``umeml_gan_plot.py``: same architecture as umeml_gan; at
+    test time MBTRAIN additionally dumps per-sample path x omic similarity
+    grids to ``plots/sim_<patient>.png`` (detected via the ``_plot`` suffix)."""
+    return umeml_gan(
+        cfg=cfg,
+        num_classes=num_classes,
+        gene_group_indexes=gene_group_indexes,
+        **kwargs,
+    )
+
+
 @MIL_REGISTRY.register_as("abmil")
 def abmil(path_input_dim=512, model_size_wsi="small", dropout=0.25, **kwargs):
     return ABMIL_MODULE(

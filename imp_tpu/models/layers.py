@@ -101,6 +101,10 @@ class BottleneckAttentionBlock(nn.Module):
         else:
             k = self.topk
             sim = cosine_similarity_matrix(x_path, x_omic)
+            # expose the pre-pairing similarity grid for the plot variant
+            # (reference ``umeml_gan_plot.py:124-168`` draws it per sample;
+            # we sow it here and render on host AFTER the jitted forward)
+            self.sow("intermediates", "similarity", sim)
             rows, cols = greedy_topk_pairs(sim, k)  # selection order
             p_sel = gather_tokens(x_path, rows)  # [B, k, D]
             o_sel = gather_tokens(x_omic, cols)

@@ -71,11 +71,10 @@ class SimpleTokenizer:
         self.decoder = {i: v for v, i in self.encoder.items()}
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
         self.cache = {SOT: SOT, EOT: EOT}
+        # ASCII approximation of CLIP's \p{L}/\p{N} classes (stdlib `re` has
+        # no unicode property escapes; medical captions are ASCII).
         self.pat = re.compile(
             r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-            r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if False
-            else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
             r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
             re.IGNORECASE,
         )

@@ -232,3 +232,37 @@ def test_ipcw_weighted_case_hand():
     # all concordant -> cindex=1
     c = concordance_index_ipcw((event, time), (event, time), est)[0]
     assert c == 1.0
+
+
+def test_kl_cosine_orthogonal_match_reference(ref_loss):
+    """The defined-but-unused reference losses (loss.py:195-221)."""
+    from imp_tpu.losses import kl_loss, cosine_loss, orthogonal_loss
+
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=(5, 7)).astype(np.float32)
+    y_hat = rng.normal(size=(5, 7)).astype(np.float32)
+
+    want = ref_loss.KLLoss()(torch.tensor(y), torch.tensor(y_hat)).item()
+    got = float(kl_loss(jnp.asarray(y), jnp.asarray(y_hat)))
+    assert got == pytest.approx(want, rel=1e-4)
+
+    want_c = ref_loss.CosineLoss()(torch.tensor(y), torch.tensor(y_hat)).numpy()
+    got_c = np.asarray(cosine_loss(jnp.asarray(y), jnp.asarray(y_hat)))
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-4, atol=1e-5)
+
+    P, P_hat, G, G_hat = (
+        rng.normal(size=(5, 7)).astype(np.float32) for _ in range(4)
+    )
+    want_o = (
+        ref_loss.OrthogonalLoss(gamma=0.5)(
+            torch.tensor(P), torch.tensor(P_hat), torch.tensor(G), torch.tensor(G_hat)
+        )
+        .detach()
+        .numpy()
+    )
+    got_o = np.asarray(
+        orthogonal_loss(
+            jnp.asarray(P), jnp.asarray(P_hat), jnp.asarray(G), jnp.asarray(G_hat)
+        )
+    )
+    np.testing.assert_allclose(got_o, want_o, rtol=1e-4, atol=1e-5)

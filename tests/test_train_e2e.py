@@ -208,3 +208,48 @@ def test_model_init_weights(synth_root, tmp_path):
     a = jax.tree_util.tree_leaves(trainer.params)[0]
     b = jax.tree_util.tree_leaves(trainer2.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_remat_and_no_donate_paths(synth_root, tmp_path):
+    """TPU.REMAT=True (checkpointed forward) and TPU.DONATE=False both
+    compile and train; remat must not change the result beyond fp noise."""
+    cfg = _cfg(synth_root, tmp_path, "ABMIL", task="Survival", epochs=1)
+    cfg.TEST.EVALUATOR = "Survival"
+    cfg.TASK.LOSS = "nllsurvloss"
+    cfg.TPU.REMAT = True
+    cfg.TPU.DONATE = False
+    r_remat = build_trainer(cfg).train()
+    assert np.isfinite(r_remat)
+
+    cfg2 = _cfg(synth_root, tmp_path / "b", "ABMIL", task="Survival", epochs=1)
+    cfg2.TEST.EVALUATOR = "Survival"
+    cfg2.TASK.LOSS = "nllsurvloss"
+    r_plain = build_trainer(cfg2).train()
+    assert r_remat == pytest.approx(r_plain, abs=1e-4)
+
+
+def test_mbtrain_remat_gan_step(synth_root, tmp_path):
+    """The rematerialized GAN main-phase forward compiles and trains."""
+    cfg = _cfg(
+        synth_root, tmp_path, "MBTRAIN", model_name="umeml_gan",
+        task="Survival", epochs=1,
+    )
+    cfg.TRAIN.CURRICULUM.GAN_START_EPOCH = 0
+    cfg.TPU.REMAT = True
+    assert np.isfinite(build_trainer(cfg).train())
+
+
+def test_umeml_gan_plot_similarity_pngs(synth_root, tmp_path):
+    """umeml_gan_plot dumps one sim_<patient>.png per test sample
+    (ref umeml_gan_plot.py:124-168)."""
+    pytest.importorskip("matplotlib")
+    import glob
+
+    cfg = _cfg(
+        synth_root, tmp_path, "MBTRAIN", model_name="umeml_gan_plot",
+        task="Survival", epochs=1,
+    )
+    trainer = build_trainer(cfg)
+    assert np.isfinite(trainer.train())
+    pngs = glob.glob(osp.join(cfg.OUTPUT_DIR, "plots", "sim_*.png"))
+    assert len(pngs) == len(trainer.test_loader.dataset)
