@@ -35,7 +35,55 @@ CLIP_CONFIGS = {
         vision_patch_size=16, context_length=77, vocab_size=49408,
         transformer_width=512, transformer_heads=8, transformer_layers=12,
     ),
+    "ViT-L/14": dict(
+        embed_dim=768, image_resolution=224, vision_layers=24, vision_width=1024,
+        vision_patch_size=14, context_length=77, vocab_size=49408,
+        transformer_width=768, transformer_heads=12, transformer_layers=12,
+    ),
+    "ViT-L/14@336px": dict(
+        embed_dim=768, image_resolution=336, vision_layers=24, vision_width=1024,
+        vision_patch_size=14, context_length=77, vocab_size=49408,
+        transformer_width=768, transformer_heads=12, transformer_layers=12,
+    ),
+    # ModifiedResNet variants (ref ``clip/model.py:93-164``); vision_layers
+    # is the per-stage Bottleneck count, vision_width the stem width
+    "RN50": dict(
+        embed_dim=1024, image_resolution=224, vision_layers=(3, 4, 6, 3),
+        vision_width=64, vision_patch_size=None, context_length=77,
+        vocab_size=49408, transformer_width=512, transformer_heads=8,
+        transformer_layers=12,
+    ),
+    "RN101": dict(
+        embed_dim=512, image_resolution=224, vision_layers=(3, 4, 23, 3),
+        vision_width=64, vision_patch_size=None, context_length=77,
+        vocab_size=49408, transformer_width=512, transformer_heads=8,
+        transformer_layers=12,
+    ),
+    "RN50x4": dict(
+        embed_dim=640, image_resolution=288, vision_layers=(4, 6, 10, 6),
+        vision_width=80, vision_patch_size=None, context_length=77,
+        vocab_size=49408, transformer_width=640, transformer_heads=10,
+        transformer_layers=12,
+    ),
+    "RN50x16": dict(
+        embed_dim=768, image_resolution=384, vision_layers=(6, 8, 18, 8),
+        vision_width=96, vision_patch_size=None, context_length=77,
+        vocab_size=49408, transformer_width=768, transformer_heads=12,
+        transformer_layers=12,
+    ),
+    "RN50x64": dict(
+        embed_dim=1024, image_resolution=448, vision_layers=(3, 15, 36, 10),
+        vision_width=128, vision_patch_size=None, context_length=77,
+        vocab_size=49408, transformer_width=1024, transformer_heads=16,
+        transformer_layers=12,
+    ),
 }
+
+
+def available_models():
+    """Names loadable by the flax towers (parity with the reference's
+    ``clip.available_models()``, ``clip/clip.py``)."""
+    return list(CLIP_CONFIGS)
 
 
 def quick_gelu(x):
@@ -186,8 +234,133 @@ class TextTransformer(nn.Module):
         return pooled @ proj
 
 
-def build_vision_tower(name: str = "ViT-B/32") -> VisionTransformer:
+class ResNetBottleneck(nn.Module):
+    """CLIP's anti-aliased Bottleneck (ref ``clip/model.py:10-53``): all convs
+    stride 1; an avgpool does the striding after conv2 (and before the
+    1x1 downsample conv). Inference-mode BatchNorm (running stats) — these
+    towers are offline feature extractors here."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        inplanes = x.shape[-1]
+        out_ch = self.planes * 4
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=True, epsilon=1e-5, name=name
+            )
+
+        h = nn.relu(bn("bn1")(nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)))
+        h = nn.relu(bn("bn2")(nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(h)))
+        if self.stride > 1:
+            h = nn.avg_pool(h, (self.stride, self.stride), (self.stride, self.stride))
+        h = bn("bn3")(nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(h))
+
+        identity = x
+        if self.stride > 1 or inplanes != out_ch:
+            if self.stride > 1:
+                identity = nn.avg_pool(
+                    identity, (self.stride, self.stride), (self.stride, self.stride)
+                )
+            identity = nn.Conv(
+                out_ch, (1, 1), use_bias=False, name="downsample_conv"
+            )(identity)
+            identity = bn("downsample_bn")(identity)
+        return nn.relu(h + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """QKV attention pooling (ref ``clip/model.py:56-91``). The reference
+    runs full self-attention and keeps token 0; attending with ONLY the
+    mean-token query computes the identical output at 1/(HW+1) the FLOPs."""
+
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        mean = tokens.mean(axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean, tokens], axis=1)  # [B, HW+1, C]
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(c**-0.5),
+            (h * w + 1, c),
+        )
+        tokens = tokens + pos[None]
+        q = nn.Dense(self.embed_dim, name="q_proj")(tokens[:, :1])
+        k = nn.Dense(self.embed_dim, name="k_proj")(tokens)
+        v = nn.Dense(self.embed_dim, name="v_proj")(tokens)
+        dh = self.embed_dim // self.num_heads
+
+        def split(t):
+            return t.reshape(b, -1, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bhld,bhsd->bhls", q * (dh**-0.5), k)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhls,bhsd->bhld", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, self.embed_dim)
+        return nn.Dense(self.output_dim, name="c_proj")(out)[:, 0]
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP's ResNet image tower (ref ``clip/model.py:93-164``): 3-conv
+    stem with avgpool, 4 anti-aliased Bottleneck stages, attention pooling."""
+
+    layers: Tuple[int, int, int, int]
+    output_dim: int
+    heads: int
+    input_resolution: int = 224
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 3] float
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=True, epsilon=1e-5, name=name
+            )
+
+        w = self.width
+        x = nn.relu(bn("bn1")(nn.Conv(w // 2, (3, 3), strides=2, padding=1, use_bias=False, name="conv1")(x)))
+        x = nn.relu(bn("bn2")(nn.Conv(w // 2, (3, 3), padding=1, use_bias=False, name="conv2")(x)))
+        x = nn.relu(bn("bn3")(nn.Conv(w, (3, 3), padding=1, use_bias=False, name="conv3")(x)))
+        x = nn.avg_pool(x, (2, 2), (2, 2))
+
+        for stage, (planes_mult, n_blocks) in enumerate(
+            zip((1, 2, 4, 8), self.layers), start=1
+        ):
+            stride = 1 if stage == 1 else 2
+            for i in range(n_blocks):
+                x = ResNetBottleneck(
+                    planes=w * planes_mult,
+                    stride=stride if i == 0 else 1,
+                    name=f"layer{stage}_{i}",
+                )(x)
+
+        return AttentionPool2d(
+            embed_dim=w * 32,
+            num_heads=self.heads,
+            output_dim=self.output_dim,
+            name="attnpool",
+        )(x)
+
+
+def build_vision_tower(name: str = "ViT-B/32"):
     c = CLIP_CONFIGS[name]
+    if c["vision_patch_size"] is None:  # ModifiedResNet family
+        return ModifiedResNet(
+            layers=tuple(c["vision_layers"]),
+            output_dim=c["embed_dim"],
+            heads=c["vision_width"] * 32 // 64,
+            input_resolution=c["image_resolution"],
+            width=c["vision_width"],
+        )
     return VisionTransformer(
         input_resolution=c["image_resolution"],
         patch_size=c["vision_patch_size"],
@@ -240,6 +413,8 @@ def convert_torch_clip_state(
     vis: Dict = {}
     if "visual.conv1.weight" not in state:
         return {"params": vis}, _convert_text(state, get, c)
+    if "visual.layer1.0.conv1.weight" in state:  # ModifiedResNet family
+        return _convert_resnet(state, get, c), _convert_text(state, get, c)
     vis["conv1_kernel"] = get("visual.conv1.weight").transpose(2, 3, 1, 0)
     vis["class_embedding"] = get("visual.class_embedding")
     vis["positional_embedding"] = get("visual.positional_embedding")
@@ -267,6 +442,50 @@ def convert_torch_clip_state(
         }
 
     return {"params": vis}, _convert_text(state, get, c)
+
+
+def _convert_resnet(state, get, c) -> Dict:
+    """torch ``visual.*`` (ModifiedResNet) -> flax params + batch_stats."""
+
+    def conv(k):
+        return {"kernel": get(k).transpose(2, 3, 1, 0)}
+
+    def bn_params(p):
+        return {"scale": get(p + ".weight"), "bias": get(p + ".bias")}
+
+    def bn_stats(p):
+        return {"mean": get(p + ".running_mean"), "var": get(p + ".running_var")}
+
+    params: Dict = {}
+    stats: Dict = {}
+    for j in (1, 2, 3):
+        params[f"conv{j}"] = conv(f"visual.conv{j}.weight")
+        params[f"bn{j}"] = bn_params(f"visual.bn{j}")
+        stats[f"bn{j}"] = bn_stats(f"visual.bn{j}")
+    for stage, n_blocks in enumerate(c["vision_layers"], start=1):
+        for i in range(n_blocks):
+            p = f"visual.layer{stage}.{i}."
+            blk_p: Dict = {}
+            blk_s: Dict = {}
+            for j in (1, 2, 3):
+                blk_p[f"conv{j}"] = conv(p + f"conv{j}.weight")
+                blk_p[f"bn{j}"] = bn_params(p + f"bn{j}")
+                blk_s[f"bn{j}"] = bn_stats(p + f"bn{j}")
+            if p + "downsample.0.weight" in state:
+                blk_p["downsample_conv"] = conv(p + "downsample.0.weight")
+                blk_p["downsample_bn"] = bn_params(p + "downsample.1")
+                blk_s["downsample_bn"] = bn_stats(p + "downsample.1")
+            params[f"layer{stage}_{i}"] = blk_p
+            stats[f"layer{stage}_{i}"] = blk_s
+    ap = "visual.attnpool."
+    params["attnpool"] = {
+        "positional_embedding": get(ap + "positional_embedding"),
+        "q_proj": _dense(get(ap + "q_proj.weight"), get(ap + "q_proj.bias")),
+        "k_proj": _dense(get(ap + "k_proj.weight"), get(ap + "k_proj.bias")),
+        "v_proj": _dense(get(ap + "v_proj.weight"), get(ap + "v_proj.bias")),
+        "c_proj": _dense(get(ap + "c_proj.weight"), get(ap + "c_proj.bias")),
+    }
+    return {"params": params, "batch_stats": stats}
 
 
 def _convert_text(state, get, c) -> Dict:

@@ -71,3 +71,72 @@ def test_text_tower_matches_torch(torch_clip):
         want = model.encode_text(torch.tensor(tokens, dtype=torch.long)).numpy()
     got = np.asarray(txt.apply(tparams, jnp.asarray(tokens, jnp.int32)))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+RN_TEST_CFG = dict(
+    embed_dim=32, image_resolution=64, vision_layers=(1, 1, 2, 1),
+    vision_width=16, vision_patch_size=None, context_length=16,
+    vocab_size=100, transformer_width=64, transformer_heads=4,
+    transformer_layers=2,
+)
+
+
+def test_modified_resnet_matches_torch():
+    """ModifiedResNet + AttentionPool2d vs the reference torch tower
+    (ref clip/model.py:10-164), including converted BN running stats."""
+    from imp_tpu.models.clip import ModifiedResNet
+
+    mod = load_ref_module("clip/model.py", "ref_clip_model")
+    torch.manual_seed(1)
+    model = mod.CLIP(
+        embed_dim=RN_TEST_CFG["embed_dim"],
+        image_resolution=RN_TEST_CFG["image_resolution"],
+        vision_layers=RN_TEST_CFG["vision_layers"],
+        vision_width=RN_TEST_CFG["vision_width"],
+        vision_patch_size=None,
+        context_length=RN_TEST_CFG["context_length"],
+        vocab_size=RN_TEST_CFG["vocab_size"],
+        transformer_width=RN_TEST_CFG["transformer_width"],
+        transformer_heads=RN_TEST_CFG["transformer_heads"],
+        transformer_layers=RN_TEST_CFG["transformer_layers"],
+    ).float()
+    rng = np.random.default_rng(2)
+    # one train-mode forward perturbs BN running stats away from (0, 1)
+    # so the test actually checks the batch_stats conversion
+    model.train()
+    with torch.no_grad():
+        model.encode_image(
+            torch.tensor(rng.normal(size=(2, 3, 64, 64)).astype(np.float32))
+        )
+    model.eval()
+
+    CLIP_CONFIGS["test_rn"] = dict(RN_TEST_CFG)
+    vparams, _ = convert_torch_clip_state(model.state_dict(), name="test_rn")
+    assert "batch_stats" in vparams
+
+    tower = ModifiedResNet(
+        layers=RN_TEST_CFG["vision_layers"],
+        output_dim=RN_TEST_CFG["embed_dim"],
+        heads=RN_TEST_CFG["vision_width"] * 32 // 64,
+        input_resolution=RN_TEST_CFG["image_resolution"],
+        width=RN_TEST_CFG["vision_width"],
+    )
+    img = rng.normal(size=(3, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = model.encode_image(torch.tensor(img)).numpy()
+    got = np.asarray(tower.apply(vparams, jnp.asarray(img.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_available_models_parity():
+    """Every reference clip.available_models() name has a loadable config
+    (ref clip/clip.py _MODELS)."""
+    from imp_tpu.models.clip import available_models, build_vision_tower
+
+    ref_names = {"RN50", "RN101", "RN50x4", "RN50x16", "RN50x64",
+                 "ViT-B/32", "ViT-B/16", "ViT-L/14", "ViT-L/14@336px"}
+    have = set(available_models())
+    missing = ref_names - have
+    assert not missing, f"missing towers: {missing}"
+    for n in ref_names:
+        build_vision_tower(n)  # constructible
