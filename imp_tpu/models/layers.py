@@ -30,6 +30,60 @@ def proto_init(n_c: int):
     return init
 
 
+class GroupedLinear(nn.Module):
+    """K parallel Linear layers evaluated as ONE batched einsum.
+
+    Replaces the reference's per-gene-group Python loop of tiny matmuls
+    (``umeml_gan.py:371-377`` -> six [1, G_k] x [G_k, D] ops per sample)
+    with a single ``bkg,kgd->bkd`` contraction over zero-padded groups —
+    one MXU dispatch instead of K. Rows of ``kernel[k]`` past group k's
+    true fan-in are zero-initialized AND their gathered inputs are zeroed
+    by the caller, so both forward values and gradients match K separate
+    torch Linears exactly (pad rows get x=0 -> grad 0, stay 0 forever).
+
+    Init matches torch's per-layer U(-1/sqrt(fan_in_k), +) using each
+    group's TRUE fan-in.
+    """
+
+    group_sizes: Tuple[int, ...]
+    features: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, K, Gmax] with pad positions already zero
+        k = len(self.group_sizes)
+        gmax = x.shape[-1]
+        sizes = jnp.asarray(self.group_sizes)
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            keys = jax.random.split(key, k)
+            mats = []
+            for i, g in enumerate(self.group_sizes):
+                bound = 1.0 / (g**0.5) if g > 0 else 0.0
+                m = jax.random.uniform(
+                    keys[i], (gmax, self.features), dtype, -bound, bound
+                )
+                mats.append(jnp.where(jnp.arange(gmax)[:, None] < g, m, 0.0))
+            return jnp.stack(mats)
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            keys = jax.random.split(key, k)
+            rows = []
+            for i, g in enumerate(self.group_sizes):
+                bound = 1.0 / (g**0.5) if g > 0 else 0.0
+                rows.append(
+                    jax.random.uniform(keys[i], (self.features,), dtype, -bound, bound)
+                )
+            return jnp.stack(rows)
+
+        del sizes
+        kernel = self.param("kernel", kernel_init, (k, gmax, self.features))
+        bias = self.param("bias", bias_init, (k, self.features))
+        y = jnp.einsum(
+            "bkg,kgd->bkd", x, kernel, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        return y + bias
+
+
 class PathProtoGenerator(nn.Module):
     """Prototype refinement: c + LN(CrossAttn(c, bag, bag)), one head
     (reference ``umeml_gan.py:65-80``), batched with a key mask replacing the

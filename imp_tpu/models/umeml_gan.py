@@ -37,6 +37,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..losses.survival import kd_loss as kd_loss_fn
@@ -48,6 +49,7 @@ from .layers import (
     BottleneckAttentionBlock,
     Discriminator,
     Generator,
+    GroupedLinear,
     PathProtoGenerator,
     proto_init,
     transform_importance,
@@ -97,7 +99,13 @@ class UMEML_GAN(nn.Module):
 
         self.drop = nn.Dropout(self.dropout_rate)
         self.path_net = TorchLinear(hidden)
-        self.omic_net = [TorchLinear(hidden) for _ in self.gene_group_indexes]
+        # the 6 per-group omics encoders run as ONE batched einsum
+        # (GroupedLinear) instead of the reference's Python loop of tiny
+        # matmuls — same numerics, one MXU dispatch
+        self.omic_net = GroupedLinear(
+            group_sizes=tuple(len(g) for g in self.gene_group_indexes),
+            features=hidden,
+        )
         self.proto_g_blocks = [PathProtoGenerator(dim=hidden) for _ in range(2)]
         self.omic_encoder = [Block(dim=hidden) for _ in range(2)]
         self.layer_norm_p = nn.LayerNorm(epsilon=1e-5)
@@ -151,19 +159,22 @@ class UMEML_GAN(nn.Module):
                 insample.astype(bool), batch["omic_means"][None, :], x_omic
             )
 
-        x_omic3 = x_omic.reshape(b, 1, -1)
-
         h = nn.relu(self.path_net(x_path))
         h_path_bag = self.drop(h, deterministic=det)
         if mask is not None:
             h_path_bag = h_path_bag * mask[..., None]
 
-        groups = []
-        for net, idx in zip(self.omic_net, self.gene_group_indexes):
-            xg = x_omic3[:, :, list(idx)]
-            hg = nn.relu(net(xg))
-            groups.append(self.drop(hg, deterministic=det))
-        h_omic_bag = jnp.concatenate(groups, axis=1)  # [B, n_proto, D]
+        # gather all gene groups into one zero-padded [B, K, Gmax] tensor;
+        # pad inputs are zeroed so pad kernel rows never see a gradient
+        gmax = max(len(g) for g in self.gene_group_indexes)
+        pad_idx = np.zeros((self.n_proto, gmax), np.int32)
+        pad_valid = np.zeros((self.n_proto, gmax), np.float32)
+        for k, idx in enumerate(self.gene_group_indexes):
+            pad_idx[k, : len(idx)] = idx
+            pad_valid[k, : len(idx)] = 1.0
+        xg = x_omic[:, pad_idx] * pad_valid[None]  # [B, K, Gmax]
+        hg = nn.relu(self.omic_net(xg))
+        h_omic_bag = self.drop(hg, deterministic=det)  # [B, n_proto, D]
 
         p_proto = jnp.tile(self.p_proto, (b, 1, 1))
         for blk in self.proto_g_blocks:

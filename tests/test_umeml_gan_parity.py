@@ -167,8 +167,16 @@ def torch_to_flax(model) -> dict:
     sd = model.state_dict()
     p = {}
     p["path_net"] = _linear(sd, "path_net.0")
-    for i in range(6):
-        p[f"omic_net_{i}"] = _linear(sd, f"omic_net.{i}.0")
+    # per-group torch Linears -> one stacked zero-padded GroupedLinear
+    gmax = max(GROUP_DIMS)
+    hidden = sd["omic_net.0.0.weight"].shape[0]
+    ker = np.zeros((6, gmax, hidden), np.float32)
+    bias = np.zeros((6, hidden), np.float32)
+    for i, g in enumerate(GROUP_DIMS):
+        lin = _linear(sd, f"omic_net.{i}.0")
+        ker[i, :g] = lin["kernel"]
+        bias[i] = lin["bias"]
+    p["omic_net"] = {"kernel": ker, "bias": bias}
     for i in range(2):
         p[f"proto_g_blocks_{i}"] = {
             "cross_attn": _mha(sd, f"proto_g_blocks.{i}.cross_attn"),
