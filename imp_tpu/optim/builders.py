@@ -118,9 +118,11 @@ def build_optimizer(
     if name == "adamw":
         return optax.adamw(lr, b1=b1, b2=b2, eps=1e-8, weight_decay=wd)
     if name == "radam":
+        # the reference RAdam (radam.py:110-126) applies weight decay
+        # DECOUPLED (p -= wd*lr*p, not via the gradient), unlike its Adam
         return optax.chain(
-            _decay(),
             optax.scale_by_radam(b1=b1, b2=b2, eps=1e-8),
+            _decay(),
             optax.scale_by_learning_rate(lr),
         )
     if name == "sgd":

@@ -105,3 +105,44 @@ def test_adam_coupled_l2_matches_torch():
         updates, state = tx.update(jnp.asarray(g), state, params)
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params), want, rtol=1e-5, atol=1e-6)
+
+
+def test_radam_matches_reference_buffered_variant():
+    """12 steps of our radam vs the reference's buffered RAdam
+    (ref medmm/optim/radam.py:18-130) across the N_sma<5 (SGD-degenerate)
+    and N_sma>=5 (rectified) regimes, with decoupled weight decay."""
+    import jax.numpy as jnp
+    import optax
+
+    from imp_tpu.optim import build_optimizer
+
+    ref_radam = load_ref_module("medmm/optim/radam.py", "ref_radam")
+
+    cfg = get_cfg_default()
+    cfg.OPTIM.NAME = "radam"
+    cfg.OPTIM.LR = 1e-2
+    cfg.OPTIM.WEIGHT_DECAY = 1e-3
+    cfg.OPTIM.LR_SCHEDULER = "single_step"
+    cfg.OPTIM.STEPSIZE = (-1,)
+    cfg.OPTIM.WARMUP_EPOCH = -1
+    cfg.OPTIM.MAX_EPOCH = 100
+
+    rng = np.random.default_rng(1)
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(12)]
+
+    p = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = ref_radam.RAdam([p], lr=1e-2, weight_decay=1e-3)
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g.copy())
+        opt.step()
+    want = p.detach().numpy()
+
+    tx = build_optimizer(cfg.OPTIM, updates_per_epoch=10**6)
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params), want, rtol=1e-4, atol=1e-5)
