@@ -88,6 +88,12 @@ def get_cfg_default() -> CN:
     _C.DATALOADER.NUM_WORKERS = 4
     _C.DATALOADER.CACHE = True  # in-memory bag cache (fits: bags are features)
     _C.DATALOADER.CACHE_GB = 8.0  # host bag-cache budget in GiB (LRU eviction)
+    # slides longer than DATASET.BAG_PAD: "truncate" keeps the first
+    # BAG_PAD patches; "sample" keeps a seeded uniform subset in original
+    # order (the reference instead micro-chunks through ALL patches —
+    # split_chunk, mbtrain.py:21-47 — which needs dynamic shapes; a static
+    # pad with sampling is the TPU-honest equivalent)
+    _C.DATALOADER.BAG_OVERFLOW = "truncate"
     _C.DATALOADER.DEVICE_CACHE = True  # device-resident bag cache (single-chip
     # meshes; upload each slide once instead of re-transferring every epoch)
     _C.DATALOADER.K_TRANSFORMS = 1

@@ -98,6 +98,22 @@ class SlideDataset:
                     return self._cache[idx]
         item = self.data_source[idx]
         bag, mol = self._load_raw(idx)
+        if bag.shape[0] > self.bag_pad:
+            if not getattr(self, "_overflow_warned", False):
+                self._overflow_warned = True
+                mode = getattr(self.cfg.DATALOADER, "BAG_OVERFLOW", "truncate")
+                print(
+                    f"WARNING: slide bags exceed DATASET.BAG_PAD="
+                    f"{self.bag_pad} (first: {bag.shape[0]} patches); "
+                    f"overflow mode: {mode}"
+                )
+            if getattr(self.cfg.DATALOADER, "BAG_OVERFLOW", "truncate") == "sample":
+                # seeded uniform subset, original order — every region of
+                # the slide can contribute, unlike prefix truncation
+                sel = np.random.default_rng(idx).choice(
+                    bag.shape[0], self.bag_pad, replace=False
+                )
+                bag = bag[np.sort(sel)]
         n = min(bag.shape[0], self.bag_pad)
         img = np.zeros((self.bag_pad, bag.shape[1]), dtype=np.float32)
         img[:n] = bag[:n]

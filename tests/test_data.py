@@ -127,3 +127,27 @@ def test_host_cache_lru_eviction(synth_root):
     assert set(sds._cache) == {3, 0}
     # cached reads return the same object (no reload)
     assert sds[0] is sds[0]
+
+
+def test_bag_overflow_sample_mode(synth_root):
+    """DATALOADER.BAG_OVERFLOW=sample keeps a seeded uniform subset of an
+    oversized bag in original order instead of the first BAG_PAD rows."""
+    from imp_tpu.data.manager import SlideDataset
+
+    cfg = _cfg(synth_root)
+    cfg.DATASET.BAG_PAD = 8  # all synthetic bags (16-48) overflow
+    ds_all = build_dataset(cfg)
+
+    cfg.DATALOADER.BAG_OVERFLOW = "sample"
+    s = SlideDataset(cfg, ds_all.train, cache=False)[0]
+    assert s["img"].shape == (8, 32)
+    assert s["img_mask"].all()
+
+    cfg2 = _cfg(synth_root)
+    cfg2.DATASET.BAG_PAD = 8
+    trunc = SlideDataset(cfg2, ds_all.train, cache=False)[0]
+    # sampling must differ from prefix truncation but draw from the full bag
+    assert not np.allclose(s["img"], trunc["img"])
+    # determinism: same idx -> same subset
+    s2 = SlideDataset(cfg, ds_all.train, cache=False)[0]
+    np.testing.assert_array_equal(s["img"], s2["img"])
