@@ -23,46 +23,56 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref):
+def _make_flash_kernel(mxu_dtype):
+    """Kernel factory. ``mxu_dtype`` is the operand dtype fed to the MXU:
+    bfloat16 = single-pass matmuls (XLA's own default for fp32 dense
+    attention on TPU), float32 = multi-pass exact. Accumulation is always
+    fp32."""
     from jax.experimental import pallas as pl
 
-    ki = pl.program_id(3)
-    nki = pl.num_programs(3)
+    def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref):
+        ki = pl.program_id(3)
+        nki = pl.num_programs(3)
 
-    @pl.when(ki == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        @pl.when(ki == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
-    k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
-    v = v_ref[0, 0].astype(jnp.float32)
-    valid = mask_ref[0, 0] > 0  # [BK]
+        q = q_ref[0, 0].astype(mxu_dtype)  # [BQ, D]
+        k = k_ref[0, 0].astype(mxu_dtype)  # [BK, D]
+        v = v_ref[0, 0].astype(mxu_dtype)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, BK]
-    s = jnp.where(valid[None, :], s, NEG_INF)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK] fp32
+        # mask arrives as an additive bias row (0 valid / NEG_INF masked):
+        # one vadd instead of a compare+select over the score tile
+        s = s + mask_ref[0, 0][None, :]
 
-    m_prev = m_ref[:, 0]
-    l_prev = l_ref[:, 0]
-    m_cur = jnp.max(s, axis=-1)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new[:, None])
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = l_prev * alpha + p.sum(axis=-1)
-    acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    m_ref[:, 0] = m_new
-    l_ref[:, 0] = l_new
+        m_prev = m_ref[:, 0]
+        l_prev = l_ref[:, 0]
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=-1)
+        acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
+            p.astype(mxu_dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:, 0] = m_new
+        l_ref[:, 0] = l_new
 
-    @pl.when(ki == nki - 1)
-    def _():
-        l_fin = l_ref[:, 0]
-        safe_l = jnp.where(l_fin > 0, l_fin, 1.0)  # fully-masked rows -> 0
-        o_ref[0, 0] = (acc_ref[:] / safe_l[:, None]).astype(o_ref.dtype)
+        @pl.when(ki == nki - 1)
+        def _():
+            l_fin = l_ref[:, 0]
+            safe_l = jnp.where(l_fin > 0, l_fin, 1.0)  # fully-masked rows -> 0
+            o_ref[0, 0] = (acc_ref[:] / safe_l[:, None]).astype(o_ref.dtype)
+
+    return _flash_kernel
 
 
 def flash_attention(
@@ -71,10 +81,17 @@ def flash_attention(
     v: jnp.ndarray,  # [B, H, Nk, D]
     mask: Optional[jnp.ndarray] = None,  # [B, Nk] bool, True = attend
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
+    mxu_precision: str = "fp32",  # "fp32" | "bf16" (bf16 operands, fp32 accum)
 ) -> jnp.ndarray:
-    """Exact masked attention; Pallas on TPU, XLA dense elsewhere."""
+    """Masked attention; Pallas on TPU, XLA dense elsewhere.
+
+    Measured at the d_head=32 TransLayer envelope (tools/bench_flash.py,
+    BASELINE.md): the kernel is VPU-bound (exp/max/sum over the [BQ, BK]
+    score tile), so fp32 MXU operands are the fastest choice at this head
+    size — bf16 packing buys nothing and costs a cast. 512/1024 blocks
+    amortize per-step overhead (11.6 vs 8.0 TFLOP/s at 256/512)."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
     if scale is None:
@@ -103,11 +120,21 @@ def flash_attention(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, pad_k)), constant_values=False)
     nq_p, nk_p = nq + pad_q, nk + pad_k
-    mask_f = mask.astype(jnp.float32)[:, None, :]  # [B, 1, Nk] (TPU tiling)
+    # additive bias row: 0 where valid, NEG_INF where masked
+    mask_f = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+
+    out_dtype = q.dtype
+    if mxu_precision == "bf16":
+        # cast in XLA so operands land in VMEM already in native bf16
+        # (16, 128) tiling — in-kernel fp32->bf16 repacking is very slow
+        q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
 
     grid = (b, h, nq_p // block_q, nk_p // block_k)
+    kernel = _make_flash_kernel(
+        jnp.bfloat16 if mxu_precision == "bf16" else jnp.float32
+    )
     out = pl.pallas_call(
-        _flash_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -131,7 +158,7 @@ def flash_attention(
             (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, nq_p, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq_p, d), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),  # acc
             pltpu.VMEM((block_q, 1), jnp.float32),  # running max

@@ -140,3 +140,47 @@ def test_available_models_parity():
     assert not missing, f"missing towers: {missing}"
     for n in ref_names:
         build_vision_tower(n)  # constructible
+
+
+def test_full_size_vit_b32_checkpoint_roundtrip(tmp_path):
+    """A REAL-architecture ViT-B/32 torch state_dict (random weights, full
+    12+12 layers, 224px, 49408 vocab) saved to disk loads through
+    tools/clip_feature.load_checkpoint_params with forward parity — the
+    offline stand-in for loading OpenAI's ViT-B-32.pt (zero egress here;
+    see BASELINE.md waiver)."""
+    import importlib.util
+    import os.path as osp
+    import sys as _sys
+
+    mod = load_ref_module("clip/model.py", "ref_clip_model_full")
+    torch.manual_seed(7)
+    model = mod.CLIP(
+        embed_dim=512, image_resolution=224, vision_layers=12,
+        vision_width=768, vision_patch_size=32, context_length=77,
+        vocab_size=49408, transformer_width=512, transformer_heads=8,
+        transformer_layers=12,
+    ).float().eval()
+    ckpt = tmp_path / "ViT-B-32.pt"
+    torch.save(model.state_dict(), ckpt)
+
+    repo = osp.join(osp.dirname(osp.abspath(__file__)), "..")
+    spec = importlib.util.spec_from_file_location(
+        "clip_feature_tool", osp.join(repo, "tools", "clip_feature.py")
+    )
+    tool = importlib.util.module_from_spec(spec)
+    _sys.modules["clip_feature_tool"] = tool
+    spec.loader.exec_module(tool)
+
+    vparams = tool.load_checkpoint_params(str(ckpt), "ViT-B/32")
+
+    from imp_tpu.models.clip import build_vision_tower
+
+    tower = build_vision_tower("ViT-B/32")
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        want = model.encode_image(torch.tensor(img)).numpy()
+    got = np.asarray(
+        tower.apply(vparams, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
