@@ -131,6 +131,10 @@ def make_cfg(root, out_dir, fold, epochs, hidden, batch):
 def run_jax_fold(cfg):
     from imp_tpu.engine import build_trainer
 
+    # a stale OUTPUT_DIR resumes from leftover checkpoints and corrupts
+    # the comparison — always start the fold fresh
+    if osp.isdir(cfg.OUTPUT_DIR):
+        shutil.rmtree(cfg.OUTPUT_DIR)
     trainer = build_trainer(cfg)
     return float(trainer.train())
 
