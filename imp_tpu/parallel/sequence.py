@@ -1,0 +1,197 @@
+"""Sequence parallelism over the bag/token axis (all-gather-KV flavor).
+
+A NEW capability beyond reference parity (SURVEY §5: "optional device-axis
+sequence sharding ... for 100k-patch slides"): the O(N²) modularity loss
+and the prototype cross-attention — the two bag-quadratic/-linear hot spots
+of the flagship — computed with the 10k-100k token axis sharded over a
+``seq`` mesh axis.
+
+Design (all-gather-KV): each device holds an N/sp token shard. For the
+modularity passes it all-gathers the (already L2-normalized, masked) bag
+once — O(N·D) comms on ICI — then sweeps ONLY ITS OWN row block of the
+[N, N] adjacency/assignment space, 1/sp of the quadratic work. Per-set
+traces psum to identical replicated scalars; the prototype cotangent is
+produced rowwise during the sweep exactly like the single-device
+:mod:`imp_tpu.ops.modularity` kernels (the factor-2 row-side identity holds
+globally because every unordered (i, j) pair lands in exactly one device's
+row sweep and all matrices involved are symmetric).
+
+Use inside ``jax.experimental.shard_map`` over a mesh with a ``seq`` axis;
+batch-axis data parallelism composes on an outer ``data`` axis. Gradients
+flow to the (replicated) prototype tokens; the bag is stop-gradient'd, the
+same contract as the single-device loss (ref ``umeml_gan.py:516-526``
+backpropagates modularity only into the prototypes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.modularity import (
+    _BLOCK,
+    _adjacency_block,
+    _cc_max_block,
+    _prepare,
+    _row_blocks,
+)
+
+
+def _sp_passes(norm_x_local, Cs_local, temp, axis_name):
+    """Local-row-block degree + value/gradient sweeps against the gathered
+    bag. Returns (replicated traces, per-local-row dC residuals)."""
+    b, nl, _ = norm_x_local.shape
+    sp = lax.axis_size(axis_name)
+    n = nl * sp
+    start = lax.axis_index(axis_name) * nl
+
+    # one O(N D) gather of the normalized masked bag; masked rows are zero
+    norm_x = lax.all_gather(norm_x_local, axis_name, axis=1, tiled=True)
+    Cs = [lax.all_gather(C, axis_name, axis=2, tiled=True) for C in Cs_local]
+
+    xb = _row_blocks(norm_x_local, _BLOCK)  # [nb, B, R, D]
+    cbs = [_row_blocks(jnp.moveaxis(C, 1, 2), _BLOCK) for C in Cs_local]
+    nb = xb.shape[0]
+    # global row indices of the local shard; padded rows point past every
+    # column (their adjacency is zero anyway)
+    idx = start + jnp.arange(nb * _BLOCK).reshape(nb, _BLOCK)
+
+    def deg_step(_, inp):
+        x_blk, idx_blk = inp
+        a = _adjacency_block(x_blk, norm_x, idx_blk, n)
+        return None, a.sum(axis=2, dtype=jnp.float32)
+
+    _, degs = lax.scan(deg_step, None, (xb, idx))  # [nb, B, R]
+    deg_local = jnp.moveaxis(degs, 0, 1).reshape(b, -1)[:, :nl]
+    deg = lax.all_gather(deg_local, axis_name, axis=1, tiled=True)  # [B, N]
+    # e via psum (not a sum of the gathered array): provably replicated,
+    # keeping the traces invariant over the seq axis
+    e = jnp.maximum(lax.psum(deg_local.sum(axis=1), axis_name), 1e-12)
+    inv_e = (1.0 / e)[:, None, None]
+    inv_temp = 1.0 / temp
+    deg_pad = jnp.pad(deg, ((0, 0), (0, _BLOCK)))  # covers padded row idx
+
+    def main_step(carry, inp):
+        x_blk, idx_blk = inp[0], inp[1]
+        c_blks = inp[2:]
+        a = _adjacency_block(x_blk, norm_x, idx_blk, n)
+        idx_safe = jnp.minimum(idx_blk, n + _BLOCK - 1)
+        deg_blk = jnp.take_along_axis(
+            deg_pad, jnp.broadcast_to(idx_safe[None, :], (b, idx_safe.size)),
+            axis=1,
+        )
+        dd = deg_blk[:, :, None] * deg[:, None, :]
+        a_m_dd = (a - dd * inv_e) * inv_e
+        new_carry, dc_blks = [], []
+        for ki, (C, c_blk) in enumerate(zip(Cs, c_blks)):
+            s1, q = carry[2 * ki], carry[2 * ki + 1]
+            cc, best_p = _cc_max_block(jnp.moveaxis(c_blk, 2, 1), C)
+            delta = jnp.tanh(cc * inv_temp)
+            s1 = s1 + jnp.sum(a * delta, axis=(1, 2), dtype=jnp.float32)
+            q = q + jnp.sum(delta * dd, axis=(1, 2), dtype=jnp.float32)
+            w = a_m_dd * ((1.0 - delta * delta) * inv_temp)
+            dc_blk = jnp.stack(
+                [
+                    2.0
+                    * jnp.einsum(
+                        "brn,bn->br", w * (best_p == pi), C[:, pi, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    for pi in range(C.shape[1])
+                ],
+                axis=1,
+            )  # [B, P, R]
+            new_carry += [s1, q]
+            dc_blks.append(dc_blk)
+        return tuple(new_carry), tuple(dc_blks)
+
+    # under shard_map the carry must carry the same device-varying axes as
+    # the sharded inputs (seq, plus any outer data axis) — inherit them
+    # from the local shard instead of naming axes explicitly
+    zeros = 0.0 * norm_x_local[:, 0, 0].astype(jnp.float32)
+    carry, dcs = lax.scan(
+        main_step, tuple(zeros for _ in range(2 * len(Cs_local))), (xb, idx, *cbs)
+    )
+    traces, dCs = [], []
+    for ki in range(len(Cs_local)):
+        s1 = lax.psum(carry[2 * ki], axis_name)
+        q = lax.psum(carry[2 * ki + 1], axis_name)
+        traces.append((s1 - q / e) / e)
+        dCs.append(jnp.concatenate(list(dcs[ki]), axis=2)[:, :, :nl])
+    return tuple(traces), tuple(dCs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sp_traces(axis_name: str, temp: float, norm_x_local, *Cs_local):
+    traces, _ = _sp_passes(norm_x_local, Cs_local, temp, axis_name)
+    return traces
+
+
+def _sp_traces_fwd(axis_name, temp, norm_x_local, *Cs_local):
+    traces, dCs = _sp_passes(norm_x_local, Cs_local, temp, axis_name)
+    return traces, dCs
+
+
+def _sp_traces_bwd(axis_name, temp, res, gts):
+    grads = tuple(
+        gt[:, None, None].astype(dC.dtype) * dC for gt, dC in zip(gts, res)
+    )
+    return (None,) + grads
+
+
+_sp_traces.defvjp(_sp_traces_fwd, _sp_traces_bwd)
+
+
+def compute_modularity_pair_sp(
+    c_list: Sequence[jnp.ndarray],  # K x [B, P_k, D], replicated over seq
+    x_local: jnp.ndarray,  # [B, N/sp, D] local token shard
+    valid_local: Optional[jnp.ndarray] = None,  # [B, N/sp]
+    temp: float = 0.1,
+    axis_name: str = "seq",
+) -> jnp.ndarray:
+    """Sequence-sharded twin of
+    :func:`imp_tpu.ops.modularity.compute_modularity_pair` — call under
+    ``shard_map`` with the token axis sharded on ``axis_name``. Returns the
+    identical (replicated) scalar; gradients flow to ``c_list``."""
+    norm_x_local, Cs_local = _prepare(tuple(c_list), x_local, valid_local)
+    traces = _sp_traces(axis_name, float(temp), norm_x_local, *Cs_local)
+    return sum(-jnp.mean(t) * 100.0 for t in traces)
+
+
+def cross_attention_tokens_sp(
+    q: jnp.ndarray,  # [B, P, D] replicated queries (prototype tokens)
+    k_local: jnp.ndarray,  # [B, N/sp, D] local key shard
+    v_local: jnp.ndarray,  # [B, N/sp, D] local value shard
+    valid_local: Optional[jnp.ndarray] = None,  # [B, N/sp]
+    scale: Optional[float] = None,
+    axis_name: str = "seq",
+) -> jnp.ndarray:
+    """Distributed-softmax cross-attention of a few replicated queries over
+    a sequence-sharded bag (the PathProtoGenerator pattern: P ~ 7 prototype
+    queries, N up to 100k keys). Three scalar-ish collectives (pmax + two
+    psums of [B, P(, D)]) — no score matrix ever spans devices."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    s = jnp.einsum(
+        "bpd,bnd->bpn", q * scale, k_local, preferred_element_type=jnp.float32
+    )
+    if valid_local is not None:
+        s = jnp.where(valid_local[:, None, :], s, -jnp.finfo(s.dtype).max)
+    # stop_gradient BEFORE pmax: the max shift is gradient-neutral in
+    # softmax, and pmax has no differentiation rule — keep tangents from
+    # ever reaching it
+    m = lax.pmax(lax.stop_gradient(jnp.max(s, axis=-1)), axis_name)  # [B, P]
+    p = jnp.exp(s - m[..., None])
+    if valid_local is not None:
+        p = p * valid_local[:, None, :]
+    num = lax.psum(
+        jnp.einsum("bpn,bnd->bpd", p, v_local, preferred_element_type=jnp.float32),
+        axis_name,
+    )
+    den = lax.psum(p.sum(axis=-1), axis_name)  # [B, P]
+    return (num / jnp.maximum(den, 1e-30)[..., None]).astype(q.dtype)
