@@ -162,6 +162,173 @@ def compute_modularity_pair_sp(
     return sum(-jnp.mean(t) * 100.0 for t in traces)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ring_traces(axis_name: str, temp: float, norm_x_local, *Cs_local):
+    traces, _ = _ring_passes(norm_x_local, Cs_local, temp, axis_name)
+    return traces
+
+
+def _ring_traces_fwd(axis_name, temp, norm_x_local, *Cs_local):
+    traces, dCs = _ring_passes(norm_x_local, Cs_local, temp, axis_name)
+    return traces, dCs
+
+
+_ring_traces.defvjp(_ring_traces_fwd, _sp_traces_bwd)
+
+
+def compute_modularity_pair_ring(
+    c_list: Sequence[jnp.ndarray],
+    x_local: jnp.ndarray,
+    valid_local: Optional[jnp.ndarray] = None,
+    temp: float = 0.1,
+    axis_name: str = "seq",
+) -> jnp.ndarray:
+    """Ring-streamed twin of :func:`compute_modularity_pair_sp`: per-device
+    memory stays O(N/sp) — column chunks rotate over ICI via ``ppermute``
+    instead of being all-gathered. Use for bags too large to replicate
+    (the 100k-patch envelope)."""
+    norm_x_local, Cs_local = _prepare(tuple(c_list), x_local, valid_local)
+    traces = _ring_traces(axis_name, float(temp), norm_x_local, *Cs_local)
+    return sum(-jnp.mean(t) * 100.0 for t in traces)
+
+
+def _ring_passes(norm_x_local, Cs_local, temp, axis_name):
+    """Ring version of :func:`_sp_passes`: instead of all-gathering the bag,
+    the column chunks (x, C, degrees) rotate around the ring via
+    ``ppermute`` — per-device memory stays O(N/sp), so bags far larger than
+    one device's HBM stream through. Two ring sweeps (degrees, then
+    value+gradient), each overlapping compute with the ICI transfer."""
+    b, nl, _ = norm_x_local.shape
+    sp = lax.axis_size(axis_name)
+    n = nl * sp
+    me = lax.axis_index(axis_name)
+    start = me * nl
+    perm = [(i, (i + 1) % sp) for i in range(sp)]  # shift chunks left
+
+    xb = _row_blocks(norm_x_local, _BLOCK)  # [nb, B, R, D]
+    nb = xb.shape[0]
+    row_idx = start + jnp.arange(nb * _BLOCK).reshape(nb, _BLOCK)
+    k = len(Cs_local)
+    inv_temp = 1.0 / temp
+
+    def _chunk_adjacency(x_blk, x_chunk, ridx, col_idx):
+        a = jax.nn.relu(
+            jnp.einsum(
+                "brd,bnd->brn", x_blk, x_chunk,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        return a * (ridx[:, None] != col_idx[None, :])
+
+    # ---- sweep 1: degrees ------------------------------------------------
+    def deg_ring_step(t, carry):
+        x_chunk, deg_acc = carry
+        col_idx = ((me + t) % sp) * nl + jnp.arange(nl)
+
+        def blk(_, inp):
+            x_blk, ridx = inp
+            a = _chunk_adjacency(x_blk, x_chunk, ridx, col_idx)
+            return None, a.sum(axis=2, dtype=jnp.float32)
+
+        _, degs = lax.scan(blk, None, (xb, row_idx))
+        deg_acc = deg_acc + jnp.moveaxis(degs, 0, 1).reshape(b, -1)[:, :nl]
+        x_chunk = lax.ppermute(x_chunk, axis_name, perm)
+        return x_chunk, deg_acc
+
+    deg_local = jnp.zeros((b, nl), jnp.float32) + 0.0 * norm_x_local[:, :, 0]
+    _, deg_local = lax.fori_loop(
+        0, sp, deg_ring_step, (norm_x_local, deg_local)
+    )
+    e = jnp.maximum(lax.psum(deg_local.sum(axis=1), axis_name), 1e-12)
+    inv_e = (1.0 / e)[:, None, None]
+
+    # ---- sweep 2: value + prototype cotangent ----------------------------
+    cbs_rows = [_row_blocks(jnp.moveaxis(C, 1, 2), _BLOCK) for C in Cs_local]
+    deg_rows = _row_blocks(deg_local, _BLOCK)  # [nb, B, R]
+
+    def main_ring_step(t, carry):
+        x_chunk, deg_chunk, c_chunks, s1s, qs, dcs = carry
+        col_idx = ((me + t) % sp) * nl + jnp.arange(nl)
+
+        def blk(blk_carry, inp):
+            x_blk, ridx, deg_blk = inp[0], inp[1], inp[2]
+            c_blks = inp[3:]
+            s1_c, q_c = blk_carry
+            a = _chunk_adjacency(x_blk, x_chunk, ridx, col_idx)
+            dd = deg_blk[:, :, None] * deg_chunk[:, None, :]
+            a_m_dd = (a - dd * inv_e) * inv_e
+            new_s1, new_q, dc_blks = [], [], []
+            for ki in range(k):
+                C_chunk = c_chunks[ki]  # [B, P, Nl] columns of this chunk
+                c_blk = c_blks[ki]  # [B, R, P] local rows
+                cc, best_p = _cc_max_block(jnp.moveaxis(c_blk, 2, 1), C_chunk)
+                delta = jnp.tanh(cc * inv_temp)
+                new_s1.append(
+                    s1_c[ki] + jnp.sum(a * delta, axis=(1, 2), dtype=jnp.float32)
+                )
+                new_q.append(
+                    q_c[ki] + jnp.sum(delta * dd, axis=(1, 2), dtype=jnp.float32)
+                )
+                w = a_m_dd * ((1.0 - delta * delta) * inv_temp)
+                dc_blk = jnp.stack(
+                    [
+                        2.0
+                        * jnp.einsum(
+                            "brn,bn->br", w * (best_p == pi), C_chunk[:, pi, :],
+                            preferred_element_type=jnp.float32,
+                        )
+                        for pi in range(C_chunk.shape[1])
+                    ],
+                    axis=1,
+                )  # [B, P, R] — this row block's rows only
+                dc_blks.append(dc_blk)
+            return (tuple(new_s1), tuple(new_q)), tuple(dc_blks)
+
+        zero_s = tuple(0.0 * norm_x_local[:, 0, 0] for _ in range(k))
+        (s1_c, q_c), dc_stacked = lax.scan(
+            blk, (zero_s, zero_s), (xb, row_idx, deg_rows, *cbs_rows)
+        )
+        s1s = tuple(s + sc for s, sc in zip(s1s, s1_c))
+        qs = tuple(q + qc for q, qc in zip(qs, q_c))
+        # [nb, B, P, R] -> [B, P, nb*R] (row blocks back in order), then
+        # accumulate this chunk's column contribution for the local rows
+        dcs = tuple(
+            d + jnp.moveaxis(ds, 0, 2).reshape(b, ds.shape[2], -1)[:, :, :nl]
+            for d, ds in zip(dcs, dc_stacked)
+        )
+        x_chunk = lax.ppermute(x_chunk, axis_name, perm)
+        deg_chunk = lax.ppermute(deg_chunk, axis_name, perm)
+        c_chunks = tuple(
+            lax.ppermute(c, axis_name, perm) for c in c_chunks
+        )
+        return x_chunk, deg_chunk, c_chunks, s1s, qs, dcs
+
+    zeros_b = tuple(0.0 * norm_x_local[:, 0, 0] for _ in range(k))
+    dc_init = tuple(
+        jnp.zeros((b, C.shape[1], nl), jnp.float32)
+        + 0.0 * norm_x_local[:, :1, :1]
+        for C in Cs_local
+    )
+    _, _, _, s1s, qs, dcs = lax.fori_loop(
+        0,
+        sp,
+        main_ring_step,
+        (
+            norm_x_local,
+            deg_local,
+            tuple(Cs_local),
+            zeros_b,
+            zeros_b,
+            dc_init,
+        ),
+    )
+    traces = tuple(
+        (lax.psum(s1, axis_name) - lax.psum(q, axis_name) / e) / e
+        for s1, q in zip(s1s, qs)
+    )
+    return traces, dcs
+
+
 def cross_attention_tokens_sp(
     q: jnp.ndarray,  # [B, P, D] replicated queries (prototype tokens)
     k_local: jnp.ndarray,  # [B, N/sp, D] local key shard

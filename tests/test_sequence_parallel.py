@@ -85,3 +85,39 @@ def test_sp_cross_attention_matches_dense(mesh):
     want = np.asarray(jax.jit(dense)(q))
     got = np.asarray(jax.jit(sp)(q, x, valid))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ring_modularity_matches_single_device(mesh):
+    """Ring-streamed (ppermute) modularity: O(N/sp) per-device memory,
+    value + gradient equal to the single-device loss."""
+    from imp_tpu.parallel.sequence import compute_modularity_pair_ring
+
+    b, n, d, p = 2, 1024, 64, 7
+    x, valid = _bag(b, n, d, seed=7)
+    rng = np.random.default_rng(8)
+    proto = jnp.asarray(rng.normal(size=(b, p, d)), jnp.float32)
+    homic = jnp.asarray(rng.normal(size=(b, p, d)), jnp.float32)
+
+    def loss_single(proto, homic):
+        return compute_modularity_pair((proto, homic), x, valid)
+
+    def loss_ring(proto, homic):
+        fn = jax.shard_map(
+            lambda pr, ho, xl, vl: compute_modularity_pair_ring(
+                (pr, ho), xl, vl, axis_name="seq"
+            ),
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, "seq", None), P(None, "seq")),
+            out_specs=P(),
+        )
+        return fn(proto, homic, x, valid)
+
+    want = float(jax.jit(loss_single)(proto, homic))
+    got = float(jax.jit(loss_ring)(proto, homic))
+    assert got == pytest.approx(want, rel=1e-5, abs=1e-5)
+
+    g_want = jax.jit(jax.grad(loss_single, argnums=(0, 1)))(proto, homic)
+    g_got = jax.jit(jax.grad(loss_ring, argnums=(0, 1)))(proto, homic)
+    for gw, gg in zip(g_want, g_got):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=1e-4, atol=1e-5)
