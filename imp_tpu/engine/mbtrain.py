@@ -91,11 +91,32 @@ class MBTRAIN(TrainerBase):
         cfg = self.cfg
         self.is_gan = cfg.MODEL.NAME in ("umeml_gan", "umeml_gan_plot")
         num_classes = survival_num_classes(cfg.TASK.NAME, self.num_classes)
-        self.model = build_model(
-            cfg.MODEL.NAME,
+        # sequence parallelism: opt in by putting a "seq" axis in
+        # TPU.MESH_AXES — bag tokens shard over it, the model uses the
+        # collective cross-attention/modularity, and the jitted steps run
+        # under shard_map. Param structure is identical either way, so the
+        # non-sp twin initializes (init traces no collectives).
+        self.sp_axis = (
+            "seq" if self.is_gan and int(self.mesh.shape.get("seq", 1)) > 1
+            else None
+        )
+        if self.sp_axis and bool(cfg.TRAIN.CURRICULUM.CCA_EVERY_EPOCH):
+            raise NotImplementedError(
+                "the CCA alignment epoch is not sequence-parallel yet — set "
+                "TRAIN.CURRICULUM.CCA_EVERY_EPOCH=False with a seq mesh axis"
+            )
+        model_kwargs = dict(
             cfg=cfg,
             num_classes=num_classes,
             gene_group_indexes=self.dm.gene_group_indexes or (),
+        )
+        self.model = build_model(
+            cfg.MODEL.NAME, sp_axis=self.sp_axis, **model_kwargs
+        )
+        init_model = (
+            build_model(cfg.MODEL.NAME, **model_kwargs)
+            if self.sp_axis
+            else self.model
         )
         self.omic_means = self.dm.compute_omic_means()
 
@@ -108,9 +129,9 @@ class MBTRAIN(TrainerBase):
             "gan": self.next_rng(),
         }
         if self.is_gan:
-            params = self.model.init(rngs, init_batch, method=UMEML_GAN.init_all)
+            params = init_model.init(rngs, init_batch, method=UMEML_GAN.init_all)
         else:
-            params = self.model.init(rngs, init_batch, train=True)
+            params = init_model.init(rngs, init_batch, train=True)
         if cfg.MODEL.INIT_WEIGHTS:
             from ..utils.checkpoint import load_pretrained_params
 
@@ -174,6 +195,44 @@ class MBTRAIN(TrainerBase):
         # FLOPs for HBM on 10k-token bags.
         donate = (0,) if bool(self.cfg.TPU.DONATE) else ()
         remat = bool(self.cfg.TPU.REMAT)
+        sp = getattr(self, "sp_axis", None)
+
+        def _gmean(x):
+            """Global batch mean: per-data-shard means pmean'd under sp."""
+            return jax.lax.pmean(x, "data") if sp else x
+
+        def _sp_specs(batch):
+            from jax.sharding import PartitionSpec as P
+
+            return {
+                k: (
+                    P("data", "seq")
+                    if k in ("img", "img_mask")
+                    else P()
+                    if k == "omic_means" or jnp.ndim(v) == 0
+                    else P("data")
+                )
+                for k, v in batch.items()
+            }
+
+        def _wrap_train(body):
+            """jit (+ shard_map under sp) a (state, batch, *rest) step."""
+            if not sp:
+                return partial(jax.jit, donate_argnums=donate)(body)
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self.mesh
+
+            def stepper(state, batch, *rest):
+                fn = jax.shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), _sp_specs(batch)) + (P(),) * len(rest),
+                    out_specs=(P(), P(), P("data")),
+                )
+                return fn(state, batch, *rest)
+
+            return partial(jax.jit, donate_argnums=donate)(stepper)
 
         def _maybe_remat(fn):
             return jax.checkpoint(fn) if remat else fn
@@ -185,6 +244,10 @@ class MBTRAIN(TrainerBase):
             return cast_floats(out, jnp.float32) if cdtype else out
 
         if not is_gan:
+            assert sp is None, (
+                "sequence parallelism is implemented for the umeml_gan "
+                "trainer path only"
+            )
 
             @partial(jax.jit, donate_argnums=donate)
             def train_step(state, batch, rng):
@@ -219,7 +282,6 @@ class MBTRAIN(TrainerBase):
         main_keys = self.main_keys
 
         def _make(train_gan: bool):
-            @partial(jax.jit, donate_argnums=donate)
             def train_step(state, batch, rng, replace_ratio):
                 params = state["params"]
                 rng_d, rng_g = jax.random.split(rng)
@@ -243,30 +305,30 @@ class MBTRAIN(TrainerBase):
 
                     gen_sub = _take(params, GEN_KEYS)
                     gen_loss, gen_grads = jax.value_and_grad(
-                        lambda s: model.apply(
+                        lambda s: _gmean(model.apply(
                             _merge(params, s), h_path, h_omic,
                             method=UMEML_GAN.gen_loss,
-                        )
+                        ))
                     )(gen_sub)
                     gu, gen_opt = gen_tx.update(gen_grads, gen_opt, gen_sub)
                     params = _merge(params, optax.apply_updates(gen_sub, gu))
 
                     dp_sub = _take(params, ("gan_discriminator_p",))
                     dp_loss, dp_grads = jax.value_and_grad(
-                        lambda s: model.apply(
+                        lambda s: _gmean(model.apply(
                             _merge(params, s), h_path, h_omic,
                             method=UMEML_GAN.dis_p_loss,
-                        )
+                        ))
                     )(dp_sub)
                     du, dis_p_opt = dis_p_tx.update(dp_grads, dis_p_opt, dp_sub)
                     params = _merge(params, optax.apply_updates(dp_sub, du))
 
                     do_sub = _take(params, ("gan_discriminator_o",))
                     do_loss, do_grads = jax.value_and_grad(
-                        lambda s: model.apply(
+                        lambda s: _gmean(model.apply(
                             _merge(params, s), h_path, h_omic,
                             method=UMEML_GAN.dis_o_loss,
-                        )
+                        ))
                     )(do_sub)
                     du2, dis_o_opt = dis_o_tx.update(do_grads, dis_o_opt, do_sub)
                     params = _merge(params, optax.apply_updates(do_sub, du2))
@@ -287,7 +349,7 @@ class MBTRAIN(TrainerBase):
                             rngs={"dropout": rng_d, "gan": rng_g},
                         )
                     )(sub)
-                    loss = (
+                    loss = _gmean(
                         task_loss(out["logits"], batch)
                         + out["modular_loss"]
                         + out["loss_kd"]
@@ -312,14 +374,31 @@ class MBTRAIN(TrainerBase):
                     out["importance_omic"],
                 )
 
-            return train_step
+            return _wrap_train(train_step)
 
         self._train_steps = {False: _make(False), True: _make(True)}
 
-        @jax.jit
-        def eval_step(params, batch):
+        def eval_body(params, batch):
             out = _amp_apply(params, batch, train=False)
             return out["logits"], out["importance_path"], out["importance_omic"]
+
+        if sp:
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self.mesh
+
+            @jax.jit
+            def eval_step(params, batch):
+                fn = jax.shard_map(
+                    eval_body,
+                    mesh=mesh,
+                    in_specs=(P(), _sp_specs(batch)),
+                    out_specs=(P("data"), P("data"), P("data")),
+                )
+                return fn(params, batch)
+
+        else:
+            eval_step = jax.jit(eval_body)
 
         self._eval_step = eval_step
 
@@ -732,6 +811,8 @@ class MBTRAIN(TrainerBase):
         block grid per eval sample. The grid is sown inside the jitted
         bottleneck forward and rendered on host afterwards — no host I/O
         inside the compiled step, unlike the reference."""
+        if getattr(self, "sp_axis", None):
+            return  # similarity sowing isn't wired through shard_map yet
         try:
             import matplotlib
 

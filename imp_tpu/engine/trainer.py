@@ -74,16 +74,34 @@ def pad_ragged_dim0(arrays: Dict, n_shards: int) -> Dict:
     return {k: np.asarray(v)[idx] for k, v in arrays.items()}
 
 
+SEQ_SHARDED_KEYS = ("img", "img_mask")  # token axis shardable over "seq"
+
+
 def device_batch(batch: Dict, mesh) -> Dict:
     """Ship array fields to the mesh (dim 0 sharded over 'data', wrap-padded
-    to the data-axis size; REPLICATED_KEYS replicated); keep host fields
-    (patient_id, index) on host."""
+    to the data-axis size; REPLICATED_KEYS replicated; on a mesh with a
+    'seq' axis the bag token dim of SEQ_SHARDED_KEYS is sharded over it);
+    keep host fields (patient_id, index) on host."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     arrays = {k: v for k, v in batch.items() if k in ARRAY_KEYS}
     repl = {k: arrays.pop(k) for k in REPLICATED_KEYS if k in arrays}
     n_shards = int(mesh.shape.get("data", 1))
     if n_shards > 1:
         arrays = pad_ragged_dim0(arrays, n_shards)
+    n_seq = int(mesh.shape.get("seq", 1))
+    seq_arrays = {}
+    if n_seq > 1:
+        seq_arrays = {k: arrays.pop(k) for k in SEQ_SHARDED_KEYS if k in arrays}
     out = shard_batch(arrays, mesh)
+    for k, v in seq_arrays.items():
+        v = np.asarray(v)
+        assert v.shape[1] % n_seq == 0, (
+            f"{k} token dim {v.shape[1]} not divisible by seq-axis size "
+            f"{n_seq} — pick DATASET.BAG_PAD as a multiple of it"
+        )
+        spec = P("data", "seq", *([None] * (v.ndim - 2)))
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     if repl:
         out.update(replicate_tree(repl, mesh))
     return out

@@ -28,7 +28,8 @@ def umeml(cfg=None, num_classes=0, **kwargs):
 
 
 @MODEL_REGISTRY.register_as("umeml_gan")
-def umeml_gan(cfg=None, num_classes=0, gene_group_indexes=(), **kwargs):
+def umeml_gan(cfg=None, num_classes=0, gene_group_indexes=(), sp_axis=None,
+              **kwargs):
     proto_initializer = None
     if cfg.MODEL.UMEML.PROTO_INIT == "plip":
         from .prototypes import plip_prototype_init
@@ -48,6 +49,7 @@ def umeml_gan(cfg=None, num_classes=0, gene_group_indexes=(), **kwargs):
         topk=cfg.MODEL.UMEML.TOPK,
         kd_t=float(cfg.MODEL.UMEML.KD_T),
         proto_initializer=proto_initializer,
+        sp_axis=sp_axis,
     )
 
 

@@ -90,16 +90,20 @@ class PathProtoGenerator(nn.Module):
     per-slide loop (``umeml_gan.py:425-434``)."""
 
     dim: int
+    seq_axis: Optional[str] = None  # bag sharded over this mesh axis
 
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,  # [B, N, D] bag
+        x: jnp.ndarray,  # [B, N, D] bag (local shard under seq_axis)
         c: jnp.ndarray,  # [B, P, D] prototypes
         key_valid: Optional[jnp.ndarray] = None,  # [B, N]
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        _c, _ = MultiheadAttention(embed_dim=self.dim, num_heads=1, name="cross_attn")(
+        _c, _ = MultiheadAttention(
+            embed_dim=self.dim, num_heads=1, seq_axis=self.seq_axis,
+            name="cross_attn",
+        )(
             c, x, x, key_valid=key_valid, need_raw=True, deterministic=deterministic
         )
         return c + nn.LayerNorm(epsilon=1e-5, name="norm1")(_c)

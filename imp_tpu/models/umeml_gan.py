@@ -82,6 +82,10 @@ class UMEML_GAN(nn.Module):
     topk: int = 3
     kd_t: float = 5.0
     proto_initializer: object = None  # None -> uniform reset() init
+    # sequence parallelism: when set, batch["img"]/["img_mask"] arrive as
+    # token shards over this mesh axis (run under shard_map); the bag
+    # cross-attention and the modularity loss use the collective variants
+    sp_axis: object = None  # Optional[str]
 
     def setup(self):
         assert len(self.gene_group_indexes) == self.n_proto, (
@@ -106,7 +110,10 @@ class UMEML_GAN(nn.Module):
             group_sizes=tuple(len(g) for g in self.gene_group_indexes),
             features=hidden,
         )
-        self.proto_g_blocks = [PathProtoGenerator(dim=hidden) for _ in range(2)]
+        self.proto_g_blocks = [
+            PathProtoGenerator(dim=hidden, seq_axis=self.sp_axis)
+            for _ in range(2)
+        ]
         self.omic_encoder = [Block(dim=hidden) for _ in range(2)]
         self.layer_norm_p = nn.LayerNorm(epsilon=1e-5)
         self.layer_norm_o = nn.LayerNorm(epsilon=1e-5)
@@ -160,7 +167,18 @@ class UMEML_GAN(nn.Module):
             )
 
         h = nn.relu(self.path_net(x_path))
-        h_path_bag = self.drop(h, deterministic=det)
+        if self.sp_axis is not None and not det:
+            # distinct dropout mask per token shard = one consistent global
+            # mask over the sharded bag
+            h_path_bag = self.drop(
+                h,
+                deterministic=det,
+                rng=jax.random.fold_in(
+                    self.make_rng("dropout"), jax.lax.axis_index(self.sp_axis)
+                ),
+            )
+        else:
+            h_path_bag = self.drop(h, deterministic=det)
         if mask is not None:
             h_path_bag = h_path_bag * mask[..., None]
 
@@ -356,9 +374,17 @@ class UMEML_GAN(nn.Module):
         modular_loss = jnp.zeros(())
         if train:
             mask = batch.get("img_mask")
-            modular_loss = compute_modularity_pair(
-                (enc["p_proto"], h_omic), enc["h_path_bag"], valid=mask
-            )
+            if self.sp_axis is not None:
+                from ..parallel.sequence import compute_modularity_pair_sp
+
+                modular_loss = compute_modularity_pair_sp(
+                    (enc["p_proto"], h_omic), enc["h_path_bag"],
+                    valid_local=mask, axis_name=self.sp_axis,
+                )
+            else:
+                modular_loss = compute_modularity_pair(
+                    (enc["p_proto"], h_omic), enc["h_path_bag"], valid=mask
+                )
         out["modular_loss"] = modular_loss
         out["h_path"] = h_path
         out["h_omic"] = h_omic

@@ -49,6 +49,33 @@ def torch_linear_bias_init(fan_in: int):
     return init
 
 
+def _distributed_softmax_attention(q, k, v, key_valid, scale, axis_name):
+    """Softmax attention with keys sharded over ``axis_name``: local scores,
+    global pmax for stability, psum of numerator/denominator. Exact up to
+    fp reordering vs the dense single-device path."""
+    s = jnp.einsum(
+        "bhld,bhsd->bhls", q * scale, k, preferred_element_type=jnp.float32
+    )
+    raw = s
+    if key_valid is not None:
+        s = jnp.where(key_valid[:, None, None, :], s, -jnp.finfo(s.dtype).max)
+    # stop_gradient BEFORE pmax (no differentiation rule; the max shift is
+    # gradient-neutral in softmax)
+    m = jax.lax.pmax(
+        jax.lax.stop_gradient(jnp.max(s, axis=-1)), axis_name
+    )  # [B, H, L]
+    p = jnp.exp(s - m[..., None])
+    if key_valid is not None:
+        p = p * key_valid[:, None, None, :]
+    num = jax.lax.psum(
+        jnp.einsum("bhls,bhsd->bhld", p, v, preferred_element_type=jnp.float32),
+        axis_name,
+    )
+    den = jax.lax.psum(p.sum(axis=-1), axis_name)
+    out = (num / jnp.maximum(den, 1e-30)[..., None]).astype(q.dtype)
+    return out, raw
+
+
 class TorchLinear(nn.Module):
     """Dense layer with torch's default initialization."""
 
@@ -144,12 +171,16 @@ class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    # sequence parallelism: when set (and running under shard_map), key /
+    # value arrive as [B, S/sp, E] token shards and the softmax normalizes
+    # over the GLOBAL key axis via pmax/psum collectives
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
         self,
         query: jnp.ndarray,  # [B, L, E]
-        key: jnp.ndarray,  # [B, S, E]
+        key: jnp.ndarray,  # [B, S, E] (local shard when seq_axis is set)
         value: jnp.ndarray,  # [B, S, E]
         key_valid: Optional[jnp.ndarray] = None,  # [B, S] bool, True = attend
         need_raw: bool = True,
@@ -173,6 +204,20 @@ class MultiheadAttention(nn.Module):
             return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+        if self.seq_axis is not None:
+            assert self.dropout == 0.0 or deterministic, (
+                "attention-weight dropout is not supported under sequence "
+                "parallelism (the weight matrix never exists globally)"
+            )
+            out, raw = _distributed_softmax_attention(
+                q, k, v, key_valid, dh**-0.5, self.seq_axis
+            )
+            b, _, l, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b, l, e)
+            out = TorchLinear(e, name="out_proj")(out)
+            # raw scores are shard-local ([B, H, L, S/sp]); weights-mean is
+            # not offered under sp (callers use need_raw)
+            return out, raw
         out, weights, raw = dense_attention(q, k, v, key_valid, scale=dh**-0.5)
         if self.dropout > 0.0 and not deterministic:
             weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
