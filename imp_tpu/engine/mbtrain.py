@@ -100,11 +100,6 @@ class MBTRAIN(TrainerBase):
             "seq" if self.is_gan and int(self.mesh.shape.get("seq", 1)) > 1
             else None
         )
-        if self.sp_axis and bool(cfg.TRAIN.CURRICULUM.CCA_EVERY_EPOCH):
-            raise NotImplementedError(
-                "the CCA alignment epoch is not sequence-parallel yet — set "
-                "TRAIN.CURRICULUM.CCA_EVERY_EPOCH=False with a seq mesh axis"
-            )
         model_kwargs = dict(
             cfg=cfg,
             num_classes=num_classes,
@@ -403,19 +398,47 @@ class MBTRAIN(TrainerBase):
         self._eval_step = eval_step
 
         # ---- CCA epoch pieces ------------------------------------------
-        @jax.jit
-        def cca_values(params, batch, rng):
+        def _cca_sim(out):
+            """similarity-alignment over the GLOBAL batch Gram — under sp
+            the per-shard rows are all-gathered over 'data' first (plain
+            jit sees the global batch already)."""
+            b = out["h_path"].shape[0]
+            pp = out["p_proto_before"].reshape(b, -1)
+            hb = out["h_omic_bag_before"].reshape(b, -1)
+            if sp:
+                pp = jax.lax.all_gather(pp, "data", axis=0, tiled=True)
+                hb = jax.lax.all_gather(hb, "data", axis=0, tiled=True)
+                return jax.lax.pmean(
+                    similarity_alignment_loss(pp, hb), "data"
+                )
+            return similarity_alignment_loss(pp, hb)
+
+        def cca_values_body(params, batch, rng):
             out = model.apply(
                 params, batch, train=True, cca=True, rngs={"dropout": rng}
             )
             b = out["h_path"].shape[0]
             hp = out["h_path"].reshape(b, -1)
             ho = out["h_omic"].reshape(b, -1)
-            sim = similarity_alignment_loss(
-                out["p_proto_before"].reshape(b, -1),
-                out["h_omic_bag_before"].reshape(b, -1),
-            )
-            return hp, ho, sim
+            return hp, ho, _cca_sim(out)
+
+        if sp:
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self.mesh
+
+            @jax.jit
+            def cca_values(params, batch, rng):
+                fn = jax.shard_map(
+                    cca_values_body,
+                    mesh=mesh,
+                    in_specs=(P(), _sp_specs(batch), P()),
+                    out_specs=(P("data"), P("data"), P()),
+                )
+                return fn(params, batch, rng)
+
+        else:
+            cca_values = jax.jit(cca_values_body)
 
         @jax.jit
         def cca_cotangents(hp_all, ho_all):
@@ -435,18 +458,34 @@ class MBTRAIN(TrainerBase):
             b = out["h_path"].shape[0]
             hp = out["h_path"].reshape(b, -1)
             ho = out["h_omic"].reshape(b, -1)
-            sim = similarity_alignment_loss(
-                out["p_proto_before"].reshape(b, -1),
-                out["h_omic_bag_before"].reshape(b, -1),
-            )
-            return jnp.sum(hp * g_hp) + jnp.sum(ho * g_ho) + w_sim * sim
+            dots = jnp.sum(hp * g_hp) + jnp.sum(ho * g_ho)
+            if sp:  # global inner product = psum of per-shard sums
+                dots = jax.lax.psum(dots, "data")
+            return dots + w_sim * _cca_sim(out)
 
-        @jax.jit
-        def cca_chunk_grads(params, batch, rng, g_hp, g_ho, w_sim):
+        def cca_chunk_grads_body(params, batch, rng, g_hp, g_ho, w_sim):
             sub = _take(params, main_keys)
             return jax.grad(_chunk_surrogate)(
                 sub, params, batch, rng, g_hp, g_ho, w_sim
             )
+
+        if sp:
+
+            @jax.jit
+            def cca_chunk_grads(params, batch, rng, g_hp, g_ho, w_sim):
+                from jax.sharding import PartitionSpec as P
+
+                fn = jax.shard_map(
+                    cca_chunk_grads_body,
+                    mesh=self.mesh,
+                    in_specs=(P(), _sp_specs(batch), P(), P("data"),
+                              P("data"), P()),
+                    out_specs=P(),
+                )
+                return fn(params, batch, rng, g_hp, g_ho, w_sim)
+
+        else:
+            cca_chunk_grads = jax.jit(cca_chunk_grads_body)
 
         @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
         def cca_apply(params, cca_opt_state, grad_sum, tx_placeholder=None):

@@ -151,7 +151,7 @@ def test_mbtrain_sequence_parallel_end_to_end(tmp_path):
         cfg.TEST.EVALUATOR = "Survival_UMEML"
         cfg.DATALOADER.TRAIN.BATCH_SIZE = 4
         cfg.DATALOADER.TEST.BATCH_SIZE = 4
-        cfg.OPTIM.MAX_EPOCH = 1
+        cfg.OPTIM.MAX_EPOCH = 2
         cfg.MODEL.NAME = "umeml_gan"
         cfg.MODEL.HIDDEN_DIM = 64
         cfg.MODEL.FUSION = "concat"
@@ -159,7 +159,7 @@ def test_mbtrain_sequence_parallel_end_to_end(tmp_path):
         cfg.MODEL.UMEML.REGISTERS = 3
         cfg.TRAINER.NAME = "MBTRAIN"
         cfg.TRAIN.CURRICULUM.GAN_START_EPOCH = 0
-        cfg.TRAIN.CURRICULUM.CCA_EVERY_EPOCH = False
+        cfg.TRAIN.CURRICULUM.CCA_ACCUM_BATCHES = 2
         cfg.TPU.MESH_AXES = axes
         cfg.TPU.MESH_SHAPE = shape
         cfg.TPU.PREFETCH = 0
@@ -175,6 +175,6 @@ def test_mbtrain_sequence_parallel_end_to_end(tmp_path):
     r_dp = t_dp.test()
     assert r_sp == pytest.approx(r_dp, abs=1e-6)
 
-    # and the sp trainer trains end-to-end (GAN phase on)
+    # and the sp trainer trains end-to-end (GAN phase + CCA epochs on)
     result = t_sp.train()
     assert np.isfinite(result)
