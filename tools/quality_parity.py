@@ -89,7 +89,8 @@ def install_ref_stubs(hidden, n_proto):
         sys.path.insert(0, REF)
 
 
-def make_cfg(root, out_dir, fold, epochs, hidden, batch):
+def make_cfg(root, out_dir, fold, epochs, hidden, batch,
+             gan_start=None, replace_start=None):
     from imp_tpu.config import get_cfg_default
 
     cfg = get_cfg_default()
@@ -118,11 +119,15 @@ def make_cfg(root, out_dir, fold, epochs, hidden, batch):
     cfg.MODEL.UMEML.PROTOTYPES = 6
     cfg.MODEL.UMEML.REGISTERS = 3
     cfg.TRAINER.NAME = "MBTRAIN"
-    # GAN + CCA curriculum off: the torch replica implements the plain
-    # supervised branch (ref engine/mbtrain.py:166-189), so both sides
-    # must run exactly that
-    cfg.TRAIN.CURRICULUM.GAN_START_EPOCH = epochs + 1
-    cfg.TRAIN.CURRICULUM.REPLACE_START_EPOCH = epochs + 1
+    # CCA off (not replicated on the torch side); GAN curriculum off by
+    # default, on when gan_start/replace_start given (both sides mirror
+    # the trainer's ramp)
+    cfg.TRAIN.CURRICULUM.GAN_START_EPOCH = (
+        gan_start if gan_start is not None else epochs + 1
+    )
+    cfg.TRAIN.CURRICULUM.REPLACE_START_EPOCH = (
+        replace_start if replace_start is not None else epochs + 1
+    )
     cfg.TRAIN.CURRICULUM.CCA_EVERY_EPOCH = False
     cfg.TPU.PREFETCH = 0
     return cfg
@@ -203,10 +208,23 @@ def run_torch_fold(cfg, work):
                 "patient_id": list(batch["patient_id"]),
             }
 
+        cur = cfg.TRAIN.CURRICULUM
         for epoch in range(cfg.OPTIM.MAX_EPOCH):
             lr = lr_at_epoch(cfg.OPTIM, epoch)
             for g in opt.param_groups:
                 g["lr"] = lr
+            # same curriculum gates as MBTRAIN.train (mbtrain.py:549-557):
+            # GAN phase from GAN_START_EPOCH, replacement ramp after
+            if epoch < cur.GAN_START_EPOCH:
+                model.train_gan, model.replace_ratio = False, 0.0
+            elif epoch < cur.REPLACE_START_EPOCH:
+                model.train_gan, model.replace_ratio = True, 0.0
+            else:
+                rs = cur.REPLACE_START_EPOCH
+                model.train_gan = True
+                model.replace_ratio = (
+                    (epoch + 1 - rs) / (cfg.OPTIM.MAX_EPOCH + 1 - rs) / 2
+                )
             model.train()
             dm.train_loader.set_epoch(epoch)
             for batch in dm.train_loader:
@@ -250,6 +268,10 @@ def main():
     ap.add_argument("--slides", type=int, default=48)
     ap.add_argument("--cpu", action="store_true",
                     help="force the jax side onto CPU (leave the TPU free)")
+    ap.add_argument("--gan-start", type=int, default=None,
+                    help="GAN phase start epoch on BOTH sides (default off)")
+    ap.add_argument("--replace-start", type=int, default=None,
+                    help="replacement-ramp start epoch (default off)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -286,6 +308,7 @@ def main():
             cfg = make_cfg(
                 args.root, osp.join(args.work, f"jax_f{fold}"), fold,
                 args.epochs, args.hidden, args.batch,
+                gan_start=args.gan_start, replace_start=args.replace_start,
             )
             c_jax = run_jax_fold(cfg)
             c_ref = run_torch_fold(cfg, args.work)
