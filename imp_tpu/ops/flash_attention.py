@@ -1,20 +1,31 @@
-"""Masked flash attention as a Pallas TPU kernel.
+"""Masked flash attention as Pallas TPU kernels — forward AND backward.
 
 Exact O(N^2) attention over whole-slide bags with online softmax — offered
 as ``TPU.ATTENTION=flash``, an exact alternative to the reference's Nyström
 approximation (``medmm/modeling/ops/attention.py:46-161``) that the
 10k-token bag envelope (``data_manager.py:387``) makes affordable on TPU.
 
-Kernel layout: canonical 4D grid (batch, head, q-block, kv-block) with the
-kv axis iterating fastest; per-(q-block) running max / sum / accumulator
-live in VMEM scratch across the kv sweep, and the output block is written
-on the last kv step.  KV streams through VMEM block by block, so VMEM use
-is O(block sizes), not O(N).  A [B, N] validity mask is honored per key.
-Falls back to an XLA dense implementation off-TPU.
+Forward: canonical 4D grid (batch, head, q-block, kv-block), kv fastest;
+per-q-block running max / sum / accumulator live in VMEM scratch and the
+output block + row logsumexp are written on the last kv step.
+
+Backward (``jax.custom_vjp``): the standard two-sweep flash backward with
+recomputation — residuals are just (q, k, v, bias, O, lse); no [N, N]
+matrix ever exists.  With delta = rowsum(dO ⊙ O):
+
+* dq kernel, grid (b, h, qi, ki): P = exp(S − lse), dP = dO Vᵀ,
+  dS = P (dP − delta), dq += dS K — accumulated over kv blocks;
+* dk/dv kernel, grid (b, h, ki, qi): dv += Pᵀ dO, dk += dSᵀ Q —
+  accumulated over q blocks.
+
+The key mask is an additive bias row (0 valid / −1e30 masked): one vadd
+per score tile instead of a compare+select.  Falls back to XLA dense
+attention off-TPU (CPU tests), which is differentiable natively.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -23,14 +34,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _make_flash_kernel(mxu_dtype):
-    """Kernel factory. ``mxu_dtype`` is the operand dtype fed to the MXU:
-    bfloat16 = single-pass matmuls (XLA's own default for fp32 dense
-    attention on TPU), float32 = multi-pass exact. Accumulation is always
-    fp32."""
+def _mxu_dtype(precision: str):
+    return jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel(mxu_dtype):
     from jax.experimental import pallas as pl
 
-    def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref):
+    def kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+               acc_ref, m_ref, l_ref):
         ki = pl.program_id(3)
         nki = pl.num_programs(3)
 
@@ -48,9 +65,7 @@ def _make_flash_kernel(mxu_dtype):
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BQ, BK] fp32
-        # mask arrives as an additive bias row (0 valid / NEG_INF masked):
-        # one vadd instead of a compare+select over the score tile
-        s = s + mask_ref[0, 0][None, :]
+        s = s + mask_ref[0, 0][None, :]  # additive bias row
 
         m_prev = m_ref[:, 0]
         l_prev = l_ref[:, 0]
@@ -69,10 +84,247 @@ def _make_flash_kernel(mxu_dtype):
         @pl.when(ki == nki - 1)
         def _():
             l_fin = l_ref[:, 0]
-            safe_l = jnp.where(l_fin > 0, l_fin, 1.0)  # fully-masked rows -> 0
+            safe_l = jnp.where(l_fin > 0, l_fin, 1.0)  # fully-masked rows
             o_ref[0, 0] = (acc_ref[:] / safe_l[:, None]).astype(o_ref.dtype)
+            lse_ref[0, 0, :, 0] = m_ref[:, 0] + jnp.log(safe_l)
 
-    return _flash_kernel
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _make_dq_kernel(mxu_dtype):
+    from jax.experimental import pallas as pl
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_acc):
+        ki = pl.program_id(3)
+        nki = pl.num_programs(3)
+
+        @pl.when(ki == 0)
+        def _():
+            dq_acc[:] = jnp.zeros_like(dq_acc)
+
+        q = q_ref[0, 0].astype(mxu_dtype)
+        k = k_ref[0, 0].astype(mxu_dtype)
+        v = v_ref[0, 0].astype(mxu_dtype)
+        do = do_ref[0, 0].astype(mxu_dtype)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + mask_ref[0, 0][None, :]
+        p = jnp.exp(s - lse_ref[0, 0, :, 0][:, None])  # [BQ, BK]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        ds = p * (dp - delta_ref[0, 0, :, 0][:, None])
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(mxu_dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(ki == nki - 1)
+        def _():
+            dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+    return kernel
+
+
+def _make_dkv_kernel(mxu_dtype):
+    from jax.experimental import pallas as pl
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+               dk_ref, dv_ref, dk_acc, dv_acc):
+        qi = pl.program_id(3)
+        nqi = pl.num_programs(3)
+
+        @pl.when(qi == 0)
+        def _():
+            dk_acc[:] = jnp.zeros_like(dk_acc)
+            dv_acc[:] = jnp.zeros_like(dv_acc)
+
+        q = q_ref[0, 0].astype(mxu_dtype)
+        k = k_ref[0, 0].astype(mxu_dtype)
+        v = v_ref[0, 0].astype(mxu_dtype)
+        do = do_ref[0, 0].astype(mxu_dtype)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        s = s + mask_ref[0, 0][None, :]
+        p = jnp.exp(s - lse_ref[0, 0, :, 0][:, None])
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(mxu_dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BK, D]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0, :, 0][:, None])  # [BQ, BK]
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(mxu_dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BK, D]
+
+        @pl.when(qi == nqi - 1)
+        def _():
+            dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp core over padded, pre-scaled inputs
+# ---------------------------------------------------------------------------
+
+
+def _fwd_impl(cfg, q, k, v, mask_f):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    block_q, block_k, precision = cfg
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    grid = (b, h, nq // block_q, nk // block_k)
+    kernel = _make_fwd_kernel(_mxu_dtype(precision))
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    m_spec = pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki))
+    row_spec = pl.BlockSpec(
+        (1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, m_spec],
+        out_specs=(q_spec, row_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, nq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),  # acc
+            pltpu.VMEM((block_q, 1), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),  # running sum
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk * d,
+            bytes_accessed=(q.size + k.size + v.size) * 4,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(q, k, v, mask_f)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core(cfg, q, k, v, mask_f):
+    out, _ = _fwd_impl(cfg, q, k, v, mask_f)
+    return out
+
+
+def _flash_core_fwd(cfg, q, k, v, mask_f):
+    out, lse = _fwd_impl(cfg, q, k, v, mask_f)
+    return out, (q, k, v, mask_f, out, lse)
+
+
+def _flash_core_bwd(cfg, res, do):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    block_q, block_k, precision = cfg
+    q, k, v, mask_f, out, lse = res
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    do = do.astype(jnp.float32)
+    delta = jnp.sum(do * out, axis=-1, keepdims=True)  # [B, H, Nq, 1]
+
+    q_spec = lambda order: pl.BlockSpec(
+        (1, 1, block_q, d),
+        (lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+        if order == "q_outer"
+        else (lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+    )
+    kv_spec = lambda order: pl.BlockSpec(
+        (1, 1, block_k, d),
+        (lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+        if order == "q_outer"
+        else (lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+    )
+    m_spec = lambda order: pl.BlockSpec(
+        (1, 1, block_k),
+        (lambda bi, hi, qi, ki: (bi, 0, ki))
+        if order == "q_outer"
+        else (lambda bi, hi, ki, qi: (bi, 0, ki)),
+    )
+    row_spec = lambda order: pl.BlockSpec(
+        (1, 1, block_q, 1),
+        (lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+        if order == "q_outer"
+        else (lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+    )
+
+    flops = 5 * 2 * b * h * nq * nk * d
+    dq = pl.pallas_call(
+        _make_dq_kernel(_mxu_dtype(precision)),
+        grid=(b, h, nq // block_q, nk // block_k),
+        in_specs=[q_spec("q_outer"), kv_spec("q_outer"), kv_spec("q_outer"),
+                  m_spec("q_outer"), q_spec("q_outer"), row_spec("q_outer"),
+                  row_spec("q_outer")],
+        out_specs=q_spec("q_outer"),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=(q.size + k.size + v.size) * 4,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(q, k, v, mask_f, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        _make_dkv_kernel(_mxu_dtype(precision)),
+        grid=(b, h, nk // block_k, nq // block_q),
+        in_specs=[q_spec("k_outer"), kv_spec("k_outer"), kv_spec("k_outer"),
+                  m_spec("k_outer"), q_spec("k_outer"), row_spec("k_outer"),
+                  row_spec("k_outer")],
+        out_specs=(kv_spec("k_outer"), kv_spec("k_outer")),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=(q.size + k.size + v.size) * 4,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(q, k, v, mask_f, do, lse, delta)
+
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        jnp.zeros_like(mask_f),  # bias rows carry no useful gradient
+    )
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
 
 
 def flash_attention(
@@ -85,7 +337,7 @@ def flash_attention(
     block_k: int = 1024,
     mxu_precision: str = "fp32",  # "fp32" | "bf16" (bf16 operands, fp32 accum)
 ) -> jnp.ndarray:
-    """Masked attention; Pallas on TPU, XLA dense elsewhere.
+    """Masked attention; Pallas fwd+bwd on TPU, XLA dense elsewhere.
 
     Measured at the d_head=32 TransLayer envelope (tools/bench_flash.py,
     BASELINE.md): the kernel is VPU-bound (exp/max/sum over the [BQ, BK]
@@ -106,9 +358,6 @@ def flash_attention(
         out, _, _ = dense_attention(q, k, v, key_valid=mask, scale=1.0)
         return out
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     block_q = min(block_q, max(nq, 8))
     # pad sequence lengths to block multiples
     pad_q = (-nq) % block_q
@@ -119,7 +368,6 @@ def flash_attention(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, pad_k)), constant_values=False)
-    nq_p, nk_p = nq + pad_q, nk + pad_k
     # additive bias row: 0 where valid, NEG_INF where masked
     mask_f = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
@@ -129,45 +377,6 @@ def flash_attention(
         # (16, 128) tiling — in-kernel fp32->bf16 repacking is very slow
         q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
 
-    grid = (b, h, nq_p // block_q, nk_p // block_k)
-    kernel = _make_flash_kernel(
-        jnp.bfloat16 if mxu_precision == "bf16" else jnp.float32
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, nq_p, d), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),  # acc
-            pltpu.VMEM((block_q, 1), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 1), jnp.float32),  # running sum
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * nq_p * nk_p * d,
-            bytes_accessed=(q.size + k.size + v.size) * 4,
-            transcendentals=b * h * nq_p * nk_p,
-        ),
-    )(q, k, v, mask_f)
-    return out[:, :, :nq]
+    cfg = (block_q, block_k, mxu_precision)
+    out = _flash_core(cfg, q, k, v, mask_f)
+    return out[:, :, :nq].astype(out_dtype)

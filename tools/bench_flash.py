@@ -50,23 +50,38 @@ def main():
     if args.check:
         from imp_tpu.ops.attention import dense_attention
 
-        want, _, _ = jax.jit(
-            lambda q, k, v, m: dense_attention(
-                q * (d**-0.5), k, v, key_valid=m, scale=1.0
-            )
+        def dense_loss(q, k, v, m):
+            out, _, _ = dense_attention(q * (d**-0.5), k, v, key_valid=m, scale=1.0)
+            return jnp.sum(out * jnp.cos(out)), out
+
+        (want_l, want), want_g = jax.jit(
+            jax.value_and_grad(dense_loss, argnums=(0, 1, 2), has_aux=True)
         )(q, k, v, mask)
         want = np.asarray(want)
         for prec in args.precisions.split(","):
-            got = np.asarray(
-                jax.jit(
-                    lambda q, k, v, m, _p=prec: flash_attention(
-                        q, k, v, mask=m, mxu_precision=_p,
-                        block_q=args.block_q, block_k=args.block_k,
-                    )
-                )(q, k, v, mask)
-            )
+
+            def flash_loss(q, k, v, m, _p=prec):
+                out = flash_attention(
+                    q, k, v, mask=m, mxu_precision=_p,
+                    block_q=args.block_q, block_k=args.block_k,
+                )
+                return jnp.sum(out * jnp.cos(out)), out
+
+            (_, got), got_g = jax.jit(
+                jax.value_and_grad(flash_loss, argnums=(0, 1, 2), has_aux=True)
+            )(q, k, v, mask)
+            got = np.asarray(got)
             err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
-            print(f"check {prec}: max rel err vs dense = {err:.2e}")
+            gerrs = [
+                float(np.max(np.abs(np.asarray(gg) - np.asarray(gw)))
+                      / (np.max(np.abs(np.asarray(gw))) + 1e-9))
+                for gg, gw in zip(got_g, want_g)
+            ]
+            print(
+                f"check {prec}: fwd max rel err vs dense = {err:.2e}; "
+                f"dq/dk/dv rel err = "
+                + "/".join(f"{e:.2e}" for e in gerrs)
+            )
 
     for prec in args.precisions.split(","):
         fn = jax.jit(
