@@ -329,6 +329,33 @@ def _ring_passes(norm_x_local, Cs_local, temp, axis_name):
     return traces, dcs
 
 
+def self_attention_tokens_sp(
+    q_local: jnp.ndarray,  # [B, H, N/sp, D] query shard
+    k_local: jnp.ndarray,  # [B, H, N/sp, D] key shard
+    v_local: jnp.ndarray,  # [B, H, N/sp, D] value shard
+    valid_local: Optional[jnp.ndarray] = None,  # [B, N/sp]
+    axis_name: str = "seq",
+    **flash_kwargs,
+) -> jnp.ndarray:
+    """Exact self-attention over a sequence-sharded bag (all-gather-KV):
+    keys/values/mask gather once over ``axis_name`` (O(N·D) on ICI), then
+    each device runs the Pallas flash kernel on its query shard against
+    the full keys — 1/sp of the O(N²) work per device. Differentiable:
+    the flash core has a custom_vjp and the gather transposes to a
+    reduce-scatter. The building block for TransLayer-style models
+    (TransMIL) on 100k-patch bags."""
+    from ..ops.flash_attention import flash_attention
+
+    k = lax.all_gather(k_local, axis_name, axis=2, tiled=True)
+    v = lax.all_gather(v_local, axis_name, axis=2, tiled=True)
+    mask = (
+        lax.all_gather(valid_local, axis_name, axis=1, tiled=True)
+        if valid_local is not None
+        else None
+    )
+    return flash_attention(q_local, k, v, mask=mask, **flash_kwargs)
+
+
 def cross_attention_tokens_sp(
     q: jnp.ndarray,  # [B, P, D] replicated queries (prototype tokens)
     k_local: jnp.ndarray,  # [B, N/sp, D] local key shard
