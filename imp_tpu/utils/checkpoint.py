@@ -28,6 +28,12 @@ def save_checkpoint(
     if not model_name:
         model_name = f"model.ckpt-{epoch}"
     fpath = osp.join(directory, model_name)
+    # multi-host pods: the train state is replicated, so only the primary
+    # process writes (everyone racing on a shared FS corrupts the pointer)
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return fpath
     with open(fpath, "wb") as f:
         f.write(serialization.to_bytes(state))
     with open(osp.join(directory, "checkpoint"), "w") as f:
