@@ -53,8 +53,19 @@ class Logger:
             self.file = None
 
 
+def _is_primary() -> bool:
+    """True off-pod or on process 0 — file writers are primary-only so
+    multi-host runs don't interleave/clobber shared-FS logs."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def setup_logger(output_dir: Optional[str] = None) -> None:
-    if output_dir is None:
+    if output_dir is None or not _is_primary():
         return
     fpath = osp.join(output_dir, "log.txt")
     if osp.exists(fpath):
@@ -67,6 +78,10 @@ class MetricWriter:
 
     def __init__(self, log_dir: str):
         mkdir_if_missing(log_dir)
+        if not _is_primary():  # pods: scalar files are primary-only
+            self._jsonl = open(os.devnull, "a")
+            self._tb = None
+            return
         self._jsonl = open(osp.join(log_dir, "scalars.jsonl"), "a")
         self._tb = None
         try:  # optional
