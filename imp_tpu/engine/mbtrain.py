@@ -196,6 +196,18 @@ class MBTRAIN(TrainerBase):
             """Global batch mean: per-data-shard means pmean'd under sp."""
             return jax.lax.pmean(x, "data") if sp else x
 
+        def _shard_rng(rng):
+            """Under sp the dropout rng enters shard_map replicated; fold in
+            the data-axis index so each data shard draws independent masks
+            for its own samples (seq shards keep the same per-sample rng —
+            replicated tensors must see identical masks across seq, and the
+            token-sharded bag folds the seq index in-model)."""
+            return (
+                jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                if sp
+                else rng
+            )
+
         def _sp_specs(batch):
             from jax.sharding import PartitionSpec as P
 
@@ -279,7 +291,7 @@ class MBTRAIN(TrainerBase):
         def _make(train_gan: bool):
             def train_step(state, batch, rng, replace_ratio):
                 params = state["params"]
-                rng_d, rng_g = jax.random.split(rng)
+                rng_d, rng_g = jax.random.split(_shard_rng(rng))
                 metrics = {}
                 gen_opt, dis_p_opt, dis_o_opt = (
                     state["gen_opt"],
@@ -415,7 +427,8 @@ class MBTRAIN(TrainerBase):
 
         def cca_values_body(params, batch, rng):
             out = model.apply(
-                params, batch, train=True, cca=True, rngs={"dropout": rng}
+                params, batch, train=True, cca=True,
+                rngs={"dropout": _shard_rng(rng)},
             )
             b = out["h_path"].shape[0]
             hp = out["h_path"].reshape(b, -1)
@@ -453,7 +466,7 @@ class MBTRAIN(TrainerBase):
                 batch,
                 train=True,
                 cca=True,
-                rngs={"dropout": rng},
+                rngs={"dropout": _shard_rng(rng)},
             )
             b = out["h_path"].shape[0]
             hp = out["h_path"].reshape(b, -1)

@@ -169,7 +169,9 @@ class UMEML_GAN(nn.Module):
         h = nn.relu(self.path_net(x_path))
         if self.sp_axis is not None and not det:
             # distinct dropout mask per token shard = one consistent global
-            # mask over the sharded bag
+            # mask over the sharded bag (the data-axis index is folded into
+            # the rng by the trainer before it reaches the model, so masks
+            # are also independent across data shards)
             h_path_bag = self.drop(
                 h,
                 deterministic=det,

@@ -84,7 +84,12 @@ def _make_fwd_kernel(mxu_dtype):
         @pl.when(ki == nki - 1)
         def _():
             l_fin = l_ref[:, 0]
-            safe_l = jnp.where(l_fin > 0, l_fin, 1.0)  # fully-masked rows
+            # NB: with the additive -1e30 bias, masked scores stay finite, so
+            # l_fin > 0 always holds and a fully-masked query row outputs a
+            # softmax over masked values (garbage, like the reference's
+            # uniform mean) — callers must mask padded query rows downstream.
+            # The guard only protects against exact-zero underflow.
+            safe_l = jnp.where(l_fin > 0, l_fin, 1.0)
             o_ref[0, 0] = (acc_ref[:] / safe_l[:, None]).astype(o_ref.dtype)
             lse_ref[0, 0, :, 0] = m_ref[:, 0] + jnp.log(safe_l)
 

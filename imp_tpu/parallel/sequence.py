@@ -223,7 +223,9 @@ def _ring_passes(norm_x_local, Cs_local, temp, axis_name):
     # ---- sweep 1: degrees ------------------------------------------------
     def deg_ring_step(t, carry):
         x_chunk, deg_acc = carry
-        col_idx = ((me + t) % sp) * nl + jnp.arange(nl)
+        # perm (i -> i+1) means device me receives from me-1, so after t
+        # rotations the resident chunk is the one that started at (me - t)
+        col_idx = ((me - t) % sp) * nl + jnp.arange(nl)
 
         def blk(_, inp):
             x_blk, ridx = inp
@@ -248,7 +250,9 @@ def _ring_passes(norm_x_local, Cs_local, temp, axis_name):
 
     def main_ring_step(t, carry):
         x_chunk, deg_chunk, c_chunks, s1s, qs, dcs = carry
-        col_idx = ((me + t) % sp) * nl + jnp.arange(nl)
+        # perm (i -> i+1) means device me receives from me-1, so after t
+        # rotations the resident chunk is the one that started at (me - t)
+        col_idx = ((me - t) % sp) * nl + jnp.arange(nl)
 
         def blk(blk_carry, inp):
             x_blk, ridx, deg_blk = inp[0], inp[1], inp[2]

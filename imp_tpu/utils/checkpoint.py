@@ -29,20 +29,24 @@ def save_checkpoint(
         model_name = f"model.ckpt-{epoch}"
     fpath = osp.join(directory, model_name)
     # multi-host pods: the train state is replicated, so only the primary
-    # process writes (everyone racing on a shared FS corrupts the pointer)
+    # process writes (everyone racing on a shared FS corrupts the pointer);
+    # all processes then sync so nobody reads a half-written file
     import jax
 
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return fpath
-    with open(fpath, "wb") as f:
-        f.write(serialization.to_bytes(state))
-    with open(osp.join(directory, "checkpoint"), "w") as f:
-        f.write(osp.basename(fpath))
-    if is_best:
-        best = osp.join(directory, "model-best.ckpt")
-        with open(best, "wb") as f:
+    if jax.process_index() == 0 or jax.process_count() == 1:
+        with open(fpath, "wb") as f:
             f.write(serialization.to_bytes(state))
-    print(f'Checkpoint saved to "{fpath}"')
+        with open(osp.join(directory, "checkpoint"), "w") as f:
+            f.write(osp.basename(fpath))
+        if is_best:
+            best = osp.join(directory, "model-best.ckpt")
+            with open(best, "wb") as f:
+                f.write(serialization.to_bytes(state))
+        print(f'Checkpoint saved to "{fpath}"')
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("imp_tpu_ckpt_write")
     return fpath
 
 

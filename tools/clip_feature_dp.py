@@ -101,7 +101,14 @@ def main():
     output_dir = osp.join(args.output_dir, args.model, args.dataset)
     os.makedirs(output_dir, exist_ok=True)
     root = osp.join(args.root, args.dataset, "images", "train")
-    done = {f.split(".")[0] for f in os.listdir(output_dir)}
+    # splitext (not split('.')) so slide IDs containing dots resume
+    # correctly; .h5 only, so the in-progress .h5.tmp of a crashed run
+    # does not mark a slide done
+    done = {
+        osp.splitext(f)[0]
+        for f in os.listdir(output_dir)
+        if f.endswith(".h5")
+    }
     slides = sorted(
         d
         for d in os.listdir(root)
@@ -149,8 +156,12 @@ def main():
         t.join()
         import h5py
 
-        with h5py.File(osp.join(output_dir, f"{slide}.h5"), "w") as f:
+        # write to a temp file renamed into place so an interrupted
+        # extraction is retried on resume instead of read as complete
+        final = osp.join(output_dir, f"{slide}.h5")
+        with h5py.File(final + ".tmp", "w") as f:
             f.create_dataset(args.key, data=np.concatenate(feats, axis=0))
+        os.replace(final + ".tmp", final)
         total_patches += len(patches)
         rate = total_patches / (time.perf_counter() - t_start)
         print(f"{slide}: {len(patches)} patches  ({rate:.1f} patches/s)")
