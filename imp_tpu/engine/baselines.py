@@ -21,11 +21,17 @@ class ABMIL(StandardTrainer):
 
 @TRAINER_REGISTRY.register()
 class TransMIL(StandardTrainer):
+    def network_seq_axis(self):
+        # opt-in sequence parallelism: TPU.MESH_AXES=("data","seq") shards
+        # the bag tokens; the TransLayers run query-banded exact attention
+        return "seq" if int(self.mesh.shape.get("seq", 1)) > 1 else None
+
     def build_network(self):
         cfg = self.cfg
         return TransMIL_NET(
             num_classes=self.network_num_classes(),
             path_input_dim=cfg.DATASET.PATH.DIM,
+            seq_axis=getattr(self, "_net_seq_axis", None),
         )
 
 

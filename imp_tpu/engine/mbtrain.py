@@ -49,7 +49,7 @@ from ..models import build_model
 from ..models.nets import survival_num_classes
 from ..models.umeml_gan import UMEML_GAN
 from ..optim import build_optimizer
-from ..parallel import replicate_tree
+from ..parallel import fetch_global, replicate_tree
 from ..utils import AverageMeter, MetricMeter
 
 GEN_KEYS = ("gan_generator_p2o", "gan_generator_o2p")
@@ -244,10 +244,14 @@ class MBTRAIN(TrainerBase):
         def _maybe_remat(fn):
             return jax.checkpoint(fn) if remat else fn
 
-        def _amp_apply(p, batch, **kw):
-            """model.apply under the precision policy: params/batch cast to
+        def _amp_apply(p, *args, **kw):
+            """model.apply under the precision policy: params/inputs cast to
             the compute dtype, float outputs cast back to fp32."""
-            out = model.apply(cast_floats(p, cdtype), cast_floats(batch, cdtype), **kw)
+            out = model.apply(
+                cast_floats(p, cdtype),
+                *(cast_floats(a, cdtype) for a in args),
+                **kw,
+            )
             return cast_floats(out, jnp.float32) if cdtype else out
 
         if not is_gan:
@@ -255,6 +259,9 @@ class MBTRAIN(TrainerBase):
                 "sequence parallelism is implemented for the umeml_gan "
                 "trainer path only"
             )
+            use_bsm = bool(self.cfg.DATASET.USE_BSM)
+            bs_micro = int(self.cfg.DATASET.BS_MICRO)
+            bsm_alpha = float(self.cfg.MODEL.UMEML.ALPHA)
 
             @partial(jax.jit, donate_argnums=donate)
             def train_step(state, batch, rng):
@@ -275,6 +282,61 @@ class MBTRAIN(TrainerBase):
                 )
                 params = optax.apply_updates(state["params"], updates)
                 return {"params": params, "opt_state": opt_state}, {"loss": loss}
+
+            @partial(jax.jit, donate_argnums=donate)
+            def train_step_bsm(state, batch, rng):
+                """Chunk-averaged estimator (reference ``split_chunk`` +
+                BSM branch, ``mbtrain.py:21-47,114-150``): the padded bag is
+                randomly permuted over tokens and split into fixed
+                ``BS_MICRO``-token chunks (indices sorted within each chunk,
+                as the reference sorts); the loss is the mean over chunks of
+                ``task + ALPHA * modularity``, one backward, one update —
+                so EVERY patch of the slide contributes.  Pad tokens travel
+                with their mask (the reference's sentinel rows ride along
+                the same way)."""
+                rng_perm, rng_drop = jax.random.split(rng)
+                img, mask = batch["img"], batch["img_mask"]
+                n = img.shape[1]
+                n_chunks = -(-n // bs_micro)
+                npad = n_chunks * bs_micro
+                img_p = jnp.pad(img, ((0, 0), (0, npad - n), (0, 0)))
+                mask_p = jnp.pad(mask, ((0, 0), (0, npad - n)))
+                perm = jax.random.permutation(rng_perm, npad)
+                idx = jnp.sort(perm.reshape(n_chunks, bs_micro), axis=1)
+
+                def loss_fn(p):
+                    def chunk(acc, take):
+                        sub = dict(batch)
+                        sub["img"] = jnp.take(img_p, take, axis=1)
+                        sub["img_mask"] = jnp.take(mask_p, take, axis=1)
+                        out = _maybe_remat(
+                            lambda q: _amp_apply(
+                                q, sub, train=True,
+                                rngs={
+                                    "dropout": jax.random.fold_in(
+                                        rng_drop, take[0]
+                                    )
+                                },
+                            )
+                        )(p)
+                        l = (
+                            task_loss(out["logits"], batch)
+                            + bsm_alpha * out["modular_loss"]
+                        )
+                        return acc + l, None
+
+                    total, _ = jax.lax.scan(chunk, jnp.float32(0.0), idx)
+                    return total / n_chunks
+
+                loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+                updates, opt_state = main_tx.update(
+                    grads, state["opt_state"], state["params"]
+                )
+                params = optax.apply_updates(state["params"], updates)
+                return {"params": params, "opt_state": opt_state}, {"loss": loss}
+
+            if use_bsm:
+                train_step = train_step_bsm
 
             @jax.jit
             def eval_step(params, batch):
@@ -298,18 +360,24 @@ class MBTRAIN(TrainerBase):
                     state["dis_p_opt"],
                     state["dis_o_opt"],
                 )
-                if train_gan:
-                    # ---- GAN phase: same dropout rng as the main phase so
-                    # the encoder output is the one forward pass of the ref
-                    enc = _amp_apply(
-                        params,
+                # ---- ONE bag-sized encode forward for the whole step: the
+                # GAN phase reads its (detached) values and the main loss
+                # gets its encoder backward through enc_vjp — no second
+                # forward (the reference also computes a single forward; its
+                # GAN step runs inside it, ref umeml_gan.py:461-490)
+                def enc_fn(p):
+                    return _amp_apply(
+                        p,
                         batch,
                         train=True,
                         method=UMEML_GAN.encode,
                         rngs={"dropout": rng_d},
                     )
-                    h_path, h_omic = enc["h_path"], enc["h_omic"]
 
+                enc, enc_vjp = jax.vjp(_maybe_remat(enc_fn), params)
+                h_path, h_omic = enc["h_path"], enc["h_omic"]
+
+                if train_gan:
                     gen_sub = _take(params, GEN_KEYS)
                     gen_loss, gen_grads = jax.value_and_grad(
                         lambda s: _gmean(model.apply(
@@ -343,19 +411,27 @@ class MBTRAIN(TrainerBase):
                         loss_gen=gen_loss, loss_dis_p=dp_loss, loss_dis_o=do_loss
                     )
 
-                # ---- main phase (updated generator params)
+                # ---- main phase (updated generator params); differentiated
+                # wrt BOTH the non-discriminator params (head/generator use)
+                # and the encode outputs, whose cotangent enc_vjp turns into
+                # encoder gradients without re-running the bag forward
                 mg_sub = _take(params, main_keys)
 
-                def main_fn(sub):
+                def main_fn(sub, enc_in):
                     out = _maybe_remat(
-                        lambda s: _amp_apply(
+                        lambda s, e: _amp_apply(
                             _merge(params, s),
+                            e,
                             batch,
                             train=True,
                             replace_ratio=replace_ratio,
-                            rngs={"dropout": rng_d, "gan": rng_g},
+                            rngs={
+                                "dropout": jax.random.fold_in(rng_d, 1),
+                                "gan": rng_g,
+                            },
+                            method=UMEML_GAN.finish,
                         )
-                    )(sub)
+                    )(sub, enc_in)
                     loss = _gmean(
                         task_loss(out["logits"], batch)
                         + out["modular_loss"]
@@ -363,8 +439,12 @@ class MBTRAIN(TrainerBase):
                     )
                     return loss, out
 
-                (loss, out), grads = jax.value_and_grad(main_fn, has_aux=True)(
-                    mg_sub
+                (loss, out), (g_sub, g_enc) = jax.value_and_grad(
+                    main_fn, argnums=(0, 1), has_aux=True
+                )(mg_sub, enc)
+                (g_enc_params,) = enc_vjp(g_enc)
+                grads = jax.tree_util.tree_map(
+                    jnp.add, g_sub, _take(g_enc_params, main_keys)
                 )
                 mu, opt_state = main_tx.update(grads, state["opt_state"], mg_sub)
                 params = _merge(params, optax.apply_updates(mg_sub, mu))
@@ -598,7 +678,7 @@ class MBTRAIN(TrainerBase):
         def flush():
             if not pending:
                 return
-            host = jax.device_get([(m, imp) for _, _, m, imp in pending])
+            host = fetch_global([(m, imp) for _, _, m, imp in pending])
             for (bi, b, _, _), (metrics, imp) in zip(pending, host):
                 metrics = {k: float(v) for k, v in metrics.items()}
                 if not np.isfinite(metrics["loss"]):
@@ -763,7 +843,7 @@ class MBTRAIN(TrainerBase):
             db = self._to_device_mb(hb, batch, split)
             logits, imp_p, imp_o = self._eval_step(self.state["params"], db)
             pending.append(((logits, imp_p, imp_o), batch))
-        host = jax.device_get([p for p, _ in pending])
+        host = fetch_global([p for p, _ in pending])
         for (logits, imp_p, imp_o), (_, batch) in zip(host, pending):
             b = len(batch["patient_id"])  # drop wrap-pad rows (device_batch)
             if imp_p is not None:
@@ -831,7 +911,7 @@ class MBTRAIN(TrainerBase):
             db = self._to_device_mb(hb, batch, "test_new")
             logits, imp_p, imp_o = self._eval_step(self.state["params"], db)
             pending.append(((logits, imp_p, imp_o), batch))
-        host = jax.device_get([p for p, _ in pending])
+        host = fetch_global([p for p, _ in pending])
         for (logits, imp_p, imp_o), (_, batch) in zip(host, pending):
             b = len(batch["patient_id"])  # drop wrap-pad rows (device_batch)
             if imp_p is not None:

@@ -26,7 +26,7 @@ from ..data import DataManager
 from ..evaluation import build_evaluator
 from ..losses import build_loss, hazards_to_survival
 from ..optim import build_optimizer, lr_at_epoch
-from ..parallel import make_mesh, replicate_tree, shard_batch
+from ..parallel import fetch_global, make_mesh, replicate_tree, shard_batch
 from ..utils import AverageMeter, MetricMeter, MetricWriter, mkdir_if_missing
 from ..utils.checkpoint import (
     best_checkpoint_path,
@@ -333,7 +333,7 @@ class TrainerBase:
         def flush():
             if not pending:
                 return
-            host = jax.device_get([m for _, m in pending])
+            host = fetch_global([m for _, m in pending])
             for (bi, _), metrics in zip(pending, host):
                 metrics = {k: float(v) for k, v in metrics.items()}
                 if not np.isfinite(metrics.get("loss", 0.0)):
@@ -433,7 +433,7 @@ class TrainerBase:
             logits = self.eval_logits(batch, split, batch_index)
             pending.append((logits, batch))
         for logits, batch in zip(
-            jax.device_get([l for l, _ in pending]), [b for _, b in pending]
+            fetch_global([l for l, _ in pending]), [b for _, b in pending]
         ):
             # drop wrap-pad rows added by device_batch for ragged batches
             self.process_eval_batch(
@@ -489,6 +489,13 @@ class StandardTrainer(TrainerBase):
     def build_network(self):
         raise NotImplementedError
 
+    def network_seq_axis(self):
+        """Mesh axis name for sequence parallelism, or None.  Subclasses
+        whose net supports a token-sharded bag (TransMIL) return "seq" when
+        the mesh has one; the jitted steps then run under shard_map with
+        img/img_mask sharded (data, seq)."""
+        return None
+
     def extra_loss(self, out, batch):
         """Hook for auxiliary losses (e.g. CMTA's alignment terms)."""
         return 0.0
@@ -511,12 +518,22 @@ class StandardTrainer(TrainerBase):
 
     def build_model(self):
         cfg = self.cfg
+        self.sp_axis = self.network_seq_axis()
+        self._net_seq_axis = self.sp_axis
         self.model = self.build_network()
+        if self.sp_axis:
+            # init with a non-sp twin (init must trace no collectives);
+            # the param structure is identical by construction
+            self._net_seq_axis = None
+            init_model = self.build_network()
+            self._net_seq_axis = self.sp_axis
+        else:
+            init_model = self.model
         sample = next(iter(self.test_loader))
         init_batch = {
             k: jnp.asarray(v[:1]) for k, v in sample.items() if k in ARRAY_KEYS
         }
-        variables = self.model.init(
+        variables = init_model.init(
             {"params": self.next_rng(), "dropout": self.next_rng()},
             init_batch,
             train=True,
@@ -568,8 +585,18 @@ class StandardTrainer(TrainerBase):
         donate = (0, 1, 2) if bool(cfg.TPU.DONATE) else ()
         remat = bool(cfg.TPU.REMAT)
 
-        @partial(jax.jit, donate_argnums=donate)
-        def _train_step(params, model_state, opt_state, batch, rng):
+        sp = self.sp_axis
+        if sp:
+            assert not mutable_keys, (
+                "sequence parallelism is not wired for nets with mutable "
+                "collections (batch_stats)"
+            )
+
+        def _train_body(params, model_state, opt_state, batch, rng):
+            if sp:
+                # independent dropout per data shard (the rng enters
+                # shard_map replicated)
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
             cbatch = cast_floats(batch, cdtype)
 
             def _fwd(pc):
@@ -598,6 +625,8 @@ class StandardTrainer(TrainerBase):
                 out = cast_floats(out, jnp.float32) if cdtype else out
                 loss = task_loss(logits, batch)
                 loss = loss + extra_loss(out, batch)
+                if sp:  # global batch mean -> grads all-reduce over 'data'
+                    loss = jax.lax.pmean(loss, "data")
                 return loss, new_state
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -607,8 +636,7 @@ class StandardTrainer(TrainerBase):
             params = optax.apply_updates(params, updates)
             return params, dict(new_state), opt_state, loss
 
-        @jax.jit
-        def _eval_step(params, model_state, batch):
+        def _eval_body(params, model_state, batch):
             out = model.apply(
                 {**cast_floats(params, cdtype), **model_state},
                 cast_floats(batch, cdtype),
@@ -616,6 +644,47 @@ class StandardTrainer(TrainerBase):
             )
             logits = out["logits"] if isinstance(out, dict) else out
             return logits.astype(jnp.float32)
+
+        if sp:
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self.mesh
+
+            def _sp_specs(batch):
+                return {
+                    k: (
+                        P("data", "seq")
+                        if k in SEQ_SHARDED_KEYS
+                        else P()
+                        if k in REPLICATED_KEYS or jnp.ndim(v) == 0
+                        else P("data")
+                    )
+                    for k, v in batch.items()
+                }
+
+            @partial(jax.jit, donate_argnums=donate)
+            def _train_step(params, model_state, opt_state, batch, rng):
+                fn = jax.shard_map(
+                    _train_body,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(), _sp_specs(batch), P()),
+                    out_specs=(P(), P(), P(), P()),
+                )
+                return fn(params, model_state, opt_state, batch, rng)
+
+            @jax.jit
+            def _eval_step(params, model_state, batch):
+                fn = jax.shard_map(
+                    _eval_body,
+                    mesh=mesh,
+                    in_specs=(P(), P(), _sp_specs(batch)),
+                    out_specs=P("data"),
+                )
+                return fn(params, model_state, batch)
+
+        else:
+            _train_step = partial(jax.jit, donate_argnums=donate)(_train_body)
+            _eval_step = jax.jit(_eval_body)
 
         self._train_step = _train_step
         self._eval_step = _eval_step

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -42,9 +43,17 @@ class ABMIL_MODULE(nn.Module):
 
 class TransMIL_MODULE(nn.Module):
     """TransMIL: fc -> square-pad -> cls -> TransLayer/PPEG/TransLayer -> cls
-    (reference ``mil/transmil.py:12-68``; its hardcoded .cuda() disappears)."""
+    (reference ``mil/transmil.py:12-68``; its hardcoded .cuda() disappears).
+
+    ``seq_axis``: sequence parallelism under shard_map — the bag arrives
+    token-sharded [B, N/sp, D]; the cheap per-token fc runs on the shard,
+    the tokens gather once (the attention is all-gather-KV anyway, so
+    per-device memory is O(N·D) either way), square-pad/cls/PPEG run
+    replicated (O(N) work), and the TransLayers band-parallelize the O(N²)
+    attention + the qkv/out projections across the seq axis."""
 
     path_input_dim: int = 512
+    seq_axis: object = None  # Optional[str]
 
     out_features: int = 512
 
@@ -53,6 +62,12 @@ class TransMIL_MODULE(nn.Module):
         h = nn.relu(TorchLinear(512, name="_fc1")(x_path))
         if valid is not None:
             h = h * valid[..., None]
+        if self.seq_axis is not None:
+            from ..ops.attention import gather_tokens_replicated
+
+            h = gather_tokens_replicated(h, self.seq_axis, axis=1)
+            if valid is not None:
+                valid = gather_tokens_replicated(valid, self.seq_axis, axis=1)
         h, valid_sq, side = square_pad(h, valid)
         B = h.shape[0]
         cls = self.param(
@@ -62,8 +77,12 @@ class TransMIL_MODULE(nn.Module):
         vmask = None
         if valid_sq is not None:
             vmask = jnp.concatenate([jnp.ones((B, 1), bool), valid_sq], axis=1)
-        h = TransLayer(dim=512, name="layer1")(h, mask=vmask, deterministic=deterministic)
+        h = TransLayer(dim=512, seq_axis=self.seq_axis, name="layer1")(
+            h, mask=vmask, deterministic=deterministic
+        )
         h = PPEG(dim=512, name="pos_layer")(h, side, side)
-        h = TransLayer(dim=512, name="layer2")(h, mask=vmask, deterministic=deterministic)
+        h = TransLayer(dim=512, seq_axis=self.seq_axis, name="layer2")(
+            h, mask=vmask, deterministic=deterministic
+        )
         h = nn.LayerNorm(epsilon=1e-5)(h)
         return h[:, 0]

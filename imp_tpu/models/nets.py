@@ -41,10 +41,15 @@ class ABMIL_NET(nn.Module):
 class TransMIL_NET(nn.Module):
     num_classes: int
     path_input_dim: int = 512
+    seq_axis: object = None  # bag tokens sharded over this mesh axis
 
     @nn.compact
     def __call__(self, batch: Dict, train: bool = False) -> jnp.ndarray:
-        f = TransMIL_MODULE(path_input_dim=self.path_input_dim, name="mil")(
+        f = TransMIL_MODULE(
+            path_input_dim=self.path_input_dim,
+            seq_axis=self.seq_axis,
+            name="mil",
+        )(
             batch["img"], valid=batch.get("img_mask"), deterministic=not train
         )
         return TorchLinear(self.num_classes, name="classifier")(f)

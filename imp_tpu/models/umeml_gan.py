@@ -339,6 +339,23 @@ class UMEML_GAN(nn.Module):
         cca: bool = False,
     ) -> Dict:
         enc = self.encode(batch, train=train)
+        return self.finish(
+            enc, batch, train=train, replace_ratio=replace_ratio, cca=cca
+        )
+
+    def finish(
+        self,
+        enc: Dict,
+        batch: Dict,
+        train: bool = False,
+        replace_ratio: float = 0.0,
+        cca: bool = False,
+    ) -> Dict:
+        """Everything after :meth:`encode` (replacement, missing-omics
+        generation, head, modularity).  Split out so the trainer can run ONE
+        encode forward (``jax.vjp``) shared by the GAN phase and the main
+        loss — the reference computes a single forward too (its GAN step
+        happens inside it, ref ``umeml_gan.py:461-490``)."""
         h_path, h_omic = enc["h_path"], enc["h_omic"]
 
         if cca:

@@ -121,13 +121,44 @@ def moore_penrose_pinv(x: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     eye = jnp.eye(x.shape[-1], dtype=x.dtype)
 
     # the Newton-Schulz iteration is numerics-sensitive: force true-fp32 MXU
-    # passes (TPU fp32 matmul otherwise defaults to bf16 passes)
-    def body(_, z):
+    # passes (TPU fp32 matmul otherwise defaults to bf16 passes).
+    # The fixed 6-step loop is UNROLLED: a lax.fori_loop here shows up as a
+    # device `while` with ~60-200 us launch/sync overhead per Nystrom layer
+    # (the [.., m, m] matmuls themselves are a few us) — unrolling lets XLA
+    # fuse/pipeline the chain and removes that overhead from every TransLayer.
+    for _ in range(iters):
         with jax.default_matmul_precision("highest"):
             xz = x @ z
-            return 0.25 * z @ (13 * eye - (xz @ (15 * eye - (xz @ (7 * eye - xz)))))
+            z = 0.25 * z @ (13 * eye - (xz @ (15 * eye - (xz @ (7 * eye - xz)))))
 
-    return jax.lax.fori_loop(0, iters, body, z).astype(in_dtype)
+    return z.astype(in_dtype)
+
+
+def residual_depthwise_conv(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Per-head depthwise conv over the token axis (the Nyström value
+    residual, reference ``Conv2d(heads, heads, (k,1), groups=heads)``).
+
+    v: [B, H, N, dh]; w: [H, 1, k, 1].  Computed in NHWC layout with
+    channels = H·dh (the per-head filter broadcast over dh): TPU lowers
+    an 8-channel NCHW depthwise conv ~2.6x slower than the 256-channel
+    channels-minor form (measured; the conv is pure overhead otherwise —
+    ~170 MFLOP on a 10k-token bag)."""
+    b, h, n, dh = v.shape
+    k = w.shape[2]
+    x = jnp.transpose(v, (0, 2, 3, 1)).reshape(b, n, 1, dh * h)
+    # channel c = d*h + head  ->  filter w[head]
+    w2 = jnp.tile(
+        w[:, 0, :, 0].T[:, None, None, :], (1, 1, 1, dh)
+    ).reshape(k, 1, 1, dh * h)
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        w2.astype(jnp.float32),
+        window_strides=(1, 1),
+        padding=((k // 2, k // 2), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=dh * h,
+    )
+    return jnp.transpose(y.reshape(b, n, dh, h), (0, 3, 1, 2)).astype(v.dtype)
 
 
 def dense_attention(
@@ -333,14 +364,7 @@ class NystromAttention(nn.Module):
                 ),
                 (h, 1, ksz, 1),
             )
-            res = jax.lax.conv_general_dilated(
-                v.astype(jnp.float32),
-                w.astype(jnp.float32),
-                window_strides=(1, 1),
-                padding=((ksz // 2, ksz // 2), (0, 0)),
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                feature_group_count=h,
-            ).astype(out.dtype)
+            res = residual_depthwise_conv(v, w).astype(out.dtype)
             out = out + res
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n_pad, inner)
@@ -423,10 +447,51 @@ def set_default_attention_impl(name: str) -> None:
     _DEFAULT_ATTENTION_IMPL = name
 
 
+def _band_bounds(ntok: int, axis_name: str):
+    """Equal per-device band partition of a token axis of length ``ntok``
+    under mesh axis ``axis_name``: (band_size, padded_length)."""
+    spn = jax.lax.axis_size(axis_name)
+    band = -(-ntok // spn)
+    return band, band * spn
+
+
+def gather_tokens_replicated(band, axis_name, axis: int = 1):
+    """All-gather per-device token bands into the full array, PROVABLY
+    replicated over ``axis_name``: each device scatters its band into a
+    zero buffer at its offset and the buffers psum — shard_map's
+    replication checker accepts psum outputs where a plain ``all_gather``
+    (same values, unprovable) is rejected at ``out_specs=P()``."""
+    from jax import lax
+
+    spn = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    bsz = band.shape[axis]
+    shape = list(band.shape)
+    shape[axis] = bsz * spn
+    if band.dtype == jnp.bool_:
+        return (
+            gather_tokens_replicated(
+                band.astype(jnp.float32), axis_name, axis
+            )
+            > 0.5
+        )
+    buf = lax.dynamic_update_slice_in_dim(
+        jnp.zeros(shape, band.dtype), band, me * bsz, axis=axis
+    )
+    return lax.psum(buf, axis_name)
+
+
 class ExactSelfAttention(nn.Module):
     """Exact masked self-attention with the same parameter structure as
     :class:`NystromAttention` (to_qkv / res_conv / to_out), computed by the
-    Pallas flash kernel on TPU — checkpoint-interchangeable with Nyström."""
+    Pallas flash kernel on TPU — checkpoint-interchangeable with Nyström.
+
+    ``seq_axis``: sequence-parallel mode for TransLayer-family models under
+    shard_map.  The INPUT is the full (seq-replicated) token array; each
+    device projects and attends only its own query band (1/sp of the O(N²)
+    work and of the qkv/out projections), K/V bands all-gather over ICI, and
+    the output bands gather back to the full array.  Numerics match the
+    single-device exact path (same per-row online-softmax sweep order)."""
 
     dim: int
     dim_head: int = 64
@@ -434,6 +499,7 @@ class ExactSelfAttention(nn.Module):
     residual: bool = True
     residual_conv_kernel: int = 33
     dropout: float = 0.0
+    seq_axis: object = None  # Optional[str]
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -442,6 +508,10 @@ class ExactSelfAttention(nn.Module):
         b, n, _ = x.shape
         h = self.heads
         inner = h * self.dim_head
+
+        if self.seq_axis is not None:
+            return self._sp_forward(x, mask, deterministic)
+
         qkv = TorchLinear(inner * 3, use_bias=False, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -465,19 +535,73 @@ class ExactSelfAttention(nn.Module):
                 ),
                 (h, 1, ksz, 1),
             )
-            res = jax.lax.conv_general_dilated(
-                v.astype(jnp.float32),
-                w.astype(jnp.float32),
-                window_strides=(1, 1),
-                padding=((ksz // 2, ksz // 2), (0, 0)),
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                feature_group_count=h,
-            ).astype(out.dtype)
+            res = residual_depthwise_conv(v, w).astype(out.dtype)
             out = out + res
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = TorchLinear(self.dim, name="to_out")(out)
         return nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+
+    def _sp_forward(self, x, mask, deterministic):
+        """Sequence-parallel body: query-band attention with all-gather-KV.
+        Same parameter names/shapes as the single-device path."""
+        from jax import lax
+
+        from .flash_attention import flash_attention
+
+        b, n, _ = x.shape
+        h, inner = self.heads, self.heads * self.dim_head
+        ax = self.seq_axis
+        band, npad = _band_bounds(n, ax)
+        me = lax.axis_index(ax)
+        xp = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+        if mask is None:
+            mask = jnp.ones((b, n), bool)
+        mp = jnp.pad(mask, ((0, 0), (0, npad - n)))
+        x_band = lax.dynamic_slice_in_dim(xp, me * band, band, axis=1)
+        m_band = lax.dynamic_slice_in_dim(mp, me * band, band, axis=1)
+
+        qkv = TorchLinear(inner * 3, use_bias=False, name="to_qkv")(x_band)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, band, h, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        v = v * m_band[:, None, :, None]
+        k_full = lax.all_gather(k, ax, axis=2, tiled=True)
+        v_full = lax.all_gather(v, ax, axis=2, tiled=True)
+        out = flash_attention(
+            q, k_full, v_full, mask=mp, scale=self.dim_head**-0.5
+        )
+
+        if self.residual:
+            ksz = self.residual_conv_kernel
+            fan_in = ksz
+            w = self.param(
+                "res_conv",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -1.0 / math.sqrt(fan_in),
+                    1.0 / math.sqrt(fan_in),
+                ),
+                (h, 1, ksz, 1),
+            )
+            # depthwise token conv needs +-16 neighbor tokens: run it on the
+            # gathered full v (pad tokens are zero, so the band boundaries
+            # see exactly the single-device SAME-padding values) and slice
+            # this device's band back out — O(N·k) replicated compute
+            res_full = residual_depthwise_conv(v_full, w).astype(out.dtype)
+            out = out + lax.dynamic_slice_in_dim(res_full, me * band, band, axis=2)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, band, inner)
+        out = TorchLinear(self.dim, name="to_out")(out)
+        if self.dropout > 0.0 and not deterministic:
+            out = nn.Dropout(rate=self.dropout)(
+                out,
+                deterministic=False,
+                rng=jax.random.fold_in(self.make_rng("dropout"), me),
+            )
+        return gather_tokens_replicated(out, ax, axis=1)[:, :n]
 
 
 class TransLayer(nn.Module):
@@ -490,11 +614,28 @@ class TransLayer(nn.Module):
     dim: int = 512
     dropout: float = 0.1
     impl: str = "auto"
+    # sequence parallelism: tokens stay seq-replicated in/out; the attention
+    # runs query-banded with all-gather-KV (ExactSelfAttention._sp_forward).
+    # Nyström's landmark pooling doesn't decompose over shards, so a seq
+    # axis always uses the EXACT kernel (documented deviation: exact ≥
+    # approximate; the non-sp path keeps reference-parity Nyström).
+    seq_axis: object = None  # Optional[str]
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         impl = self.impl if self.impl != "auto" else _DEFAULT_ATTENTION_IMPL
         y = nn.LayerNorm(epsilon=1e-5)(x)
+        if self.seq_axis is not None:
+            y = ExactSelfAttention(
+                dim=self.dim,
+                dim_head=self.dim // 8,
+                heads=8,
+                residual=True,
+                dropout=self.dropout,
+                seq_axis=self.seq_axis,
+                name="attn",
+            )(y, mask=mask, deterministic=deterministic)
+            return x + y
         if impl == "flash":
             y = ExactSelfAttention(
                 dim=self.dim,

@@ -89,27 +89,36 @@ def _adjacency_tile(x_i, x_j, i, j, ti, tj):
     return jnp.where(rows != cols, a, 0.0)
 
 
-def _deg_kernel(nv_ref, x_i_ref, x_j_ref, deg_ref):
+def _deg_kernel(il_ref, jl_ref, nv_ref, x_i_ref, x_j_ref, deg_ref):
     from jax.experimental import pallas as pl
 
-    i, j = pl.program_id(1), pl.program_id(2)
+    t = pl.program_id(1)
+    i, j = il_ref[t], jl_ref[t]
     ti, tj = x_i_ref.shape[1], x_j_ref.shape[1]
     nv = nv_ref[0, 0, 0]
-    sl = pl.ds(i * ti, ti)
 
-    # deg block = the full [1, N] row (revisited across the (i, j) sweep)
-    @pl.when(j == 0)
+    # deg block = the full [1, N] row (resident across the whole sweep);
+    # SYMMETRIC SWEEP: the adjacency is symmetric, so the scalar-prefetched
+    # (i, j) lists enumerate only the upper triangle — each off-diagonal
+    # tile contributes its row sums to slice i AND its column sums to
+    # slice j (halves the DMA, matmul and VPU work)
+    @pl.when(t == 0)
     def _():
-        deg_ref[0, 0:1, sl] = jnp.zeros((1, ti), jnp.float32)
+        deg_ref[:] = jnp.zeros_like(deg_ref)
 
     @pl.when(jnp.logical_and(i * ti < nv, j * tj < nv))
     def _():
         a = _adjacency_tile(x_i_ref[0], x_j_ref[0], i, j, ti, tj)
-        deg_ref[0, 0:1, sl] += a.sum(axis=1)[None, :]
+        deg_ref[0, 0:1, pl.ds(i * ti, ti)] += a.sum(axis=1)[None, :]
+
+        @pl.when(j > i)
+        def _():
+            deg_ref[0, 0:1, pl.ds(j * tj, tj)] += a.sum(axis=0)[None, :]
 
 
 def _combined_kernel(
-    nv_ref, x_i_ref, x_j_ref, *refs, inv_temp: float, p_counts: Tuple[int, ...]
+    il_ref, jl_ref, nv_ref, x_i_ref, x_j_ref, *refs,
+    inv_temp: float, p_counts: Tuple[int, ...]
 ):
     """refs = [c_i, c_j] * K + [deg, inv_e] + [s1, q, dc] * K."""
     from jax.experimental import pallas as pl
@@ -119,22 +128,25 @@ def _combined_kernel(
     deg_ref, inv_e_ref = refs[2 * k], refs[2 * k + 1]
     out_refs = refs[2 * k + 2 :]
 
-    i, j = pl.program_id(1), pl.program_id(2)
+    t = pl.program_id(1)
+    i, j = il_ref[t], jl_ref[t]
     ti, tj = x_i_ref.shape[1], x_j_ref.shape[1]
     nv = nv_ref[0, 0, 0]
 
-    @pl.when(jnp.logical_and(i == 0, j == 0))
+    @pl.when(t == 0)
     def _():
         for ki in range(k):
             out_refs[3 * ki][0, 0, 0] = 0.0
             out_refs[3 * ki + 1][0, 0, 0] = 0.0
-
-    @pl.when(j == 0)
-    def _():
-        for ki in range(k):
             dc_ref = out_refs[3 * ki + 2]
             dc_ref[:] = jnp.zeros_like(dc_ref)
 
+    # SYMMETRIC SWEEP: adjacency, dd and the assignment products are all
+    # symmetric under (I, j) exchange, so the prefetched (i, j) lists cover
+    # only the upper triangle — scalars count off-diagonal tiles twice, and
+    # dC gets a row-side (slice i) plus a transposed col-side (slice j)
+    # contribution from each such tile.  This halves the dominant VPU chain
+    # (max-loop/tanh/w), the MXU work and the tile DMA.
     @pl.when(jnp.logical_and(i * ti < nv, j * tj < nv))
     def _():
         a = _adjacency_tile(x_i_ref[0], x_j_ref[0], i, j, ti, tj)
@@ -143,6 +155,7 @@ def _combined_kernel(
         inv_e = inv_e_ref[0, 0, 0]
         dd = deg_i[:, None] * deg_j[None, :]
         a_m_dd = (a - dd * inv_e) * inv_e  # = (A − d dᵀ/e)/e, tile of W/e
+        sym = jnp.where(j > i, 2.0, 1.0)  # off-diagonal tiles stand for two
 
         for ki, pc in enumerate(p_counts):
             c_i = c_refs[2 * ki][0]  # [P_PAD, TI]
@@ -157,8 +170,8 @@ def _combined_kernel(
             delta = jnp.tanh(best * inv_temp)
 
             s1_ref, q_ref, dc_ref = out_refs[3 * ki : 3 * ki + 3]
-            s1_ref[0, 0, 0] += jnp.sum(a * delta)
-            q_ref[0, 0, 0] += jnp.sum(delta * dd)
+            s1_ref[0, 0, 0] += sym * jnp.sum(a * delta)
+            q_ref[0, 0, 0] += sym * jnp.sum(delta * dd)
             w = a_m_dd * ((1.0 - delta * delta) * inv_temp)
             dc = jnp.concatenate(
                 [
@@ -174,7 +187,26 @@ def _combined_kernel(
                 + [jnp.zeros((_P_PAD - pc, ti), jnp.float32)],
                 axis=0,
             )  # [P_PAD, TI]
-            dc_ref[0] += dc
+            dc_ref[0, :, pl.ds(i * ti, ti)] += dc
+
+            @pl.when(j > i)
+            def _():
+                # transposed contribution: dC[p, J] += 2 Σ_I w·1[argmax=p]·c_i
+                dc_t = jnp.concatenate(
+                    [
+                        2.0
+                        * jax.lax.dot_general(
+                            jnp.where(best_p == pi, w, 0.0),
+                            c_i[pi][:, None],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).T
+                        for pi in range(pc)
+                    ]
+                    + [jnp.zeros((_P_PAD - pc, tj), jnp.float32)],
+                    axis=0,
+                )  # [P_PAD, TJ]
+                dc_ref[0, :, pl.ds(j * tj, tj)] += dc_t
 
 
 def _valid_lengths(norm_x):
@@ -183,6 +215,17 @@ def _valid_lengths(norm_x):
     n = norm_x.shape[1]
     last = n - jnp.argmax(row[:, ::-1], axis=1)
     return jnp.where(jnp.any(row, axis=1), last, 0).astype(jnp.int32)
+
+
+def _triangle_lists(nb: int):
+    """Upper-triangle (i, j) tile lists, i-major so the x_i block stays
+    resident across each row's sweep."""
+    import numpy as np
+
+    pairs = [(i, j) for i in range(nb) for j in range(i, nb)]
+    il = np.asarray([p[0] for p in pairs], np.int32)
+    jl = np.asarray([p[1] for p in pairs], np.int32)
+    return il, jl
 
 
 def _pallas_passes(norm_x, Cs, temp, interpret=False):
@@ -196,24 +239,37 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
     p_counts = tuple(C.shape[1] for C in Cs)
     Cps = [_pad_axis(_pad_axis(C, 1, _P_PAD), 2, _BLOCK) for C in Cs]
     nv = _valid_lengths(norm_x)[:, None, None]  # [B,1,1]
+    il, jl = _triangle_lists(nb)
+    ntri = il.size
+    il, jl = jnp.asarray(il), jnp.asarray(jl)
 
+    # scalar-prefetched triangular grid: (bi, t) with t enumerating only
+    # j >= i tiles — index maps read the prefetched lists, so below-diagonal
+    # tiles are never DMA'd at all
     smem11 = pl.BlockSpec(
-        (1, 1, 1), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.SMEM
+        (1, 1, 1), lambda bi, t, il, jl: (bi, 0, 0), memory_space=pltpu.SMEM
     )
-    x_i_spec = pl.BlockSpec((1, _BLOCK, d), lambda bi, i, j: (bi, i, 0))
-    x_j_spec = pl.BlockSpec((1, _BLOCK, d), lambda bi, i, j: (bi, j, 0))
-    c_i_spec = pl.BlockSpec((1, _P_PAD, _BLOCK), lambda bi, i, j: (bi, 0, i))
-    c_j_spec = pl.BlockSpec((1, _P_PAD, _BLOCK), lambda bi, i, j: (bi, 0, j))
-    deg_spec = pl.BlockSpec((1, 1, n), lambda bi, i, j: (bi, 0, 0))
+    x_i_spec = pl.BlockSpec((1, _BLOCK, d), lambda bi, t, il, jl: (bi, il[t], 0))
+    x_j_spec = pl.BlockSpec((1, _BLOCK, d), lambda bi, t, il, jl: (bi, jl[t], 0))
+    c_i_spec = pl.BlockSpec(
+        (1, _P_PAD, _BLOCK), lambda bi, t, il, jl: (bi, 0, il[t])
+    )
+    c_j_spec = pl.BlockSpec(
+        (1, _P_PAD, _BLOCK), lambda bi, t, il, jl: (bi, 0, jl[t])
+    )
+    deg_spec = pl.BlockSpec((1, 1, n), lambda bi, t, il, jl: (bi, 0, 0))
 
     deg = pl.pallas_call(
         _deg_kernel,
-        grid=(b, nb, nb),
-        in_specs=[smem11, x_i_spec, x_j_spec],
-        out_specs=deg_spec,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, ntri),
+            in_specs=[smem11, x_i_spec, x_j_spec],
+            out_specs=deg_spec,
+        ),
         out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         interpret=interpret,
-    )(nv, x, x)
+    )(il, jl, nv, x, x)
 
     e = jnp.maximum(deg.sum(axis=(1, 2)), 1e-12)
     inv_e = (1.0 / e)[:, None, None]
@@ -222,18 +278,26 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
         functools.partial(
             _combined_kernel, inv_temp=1.0 / temp, p_counts=p_counts
         ),
-        grid=(b, nb, nb),
-        in_specs=[smem11, x_i_spec, x_j_spec]
-        + [spec for _ in Cs for spec in (c_i_spec, c_j_spec)]
-        + [deg_spec, smem11],
-        out_specs=tuple(
-            spec
-            for _ in Cs
-            for spec in (
-                smem11,
-                smem11,
-                pl.BlockSpec((1, _P_PAD, _BLOCK), lambda bi, i, j: (bi, 0, i)),
-            )
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, ntri),
+            in_specs=[smem11, x_i_spec, x_j_spec]
+            + [spec for _ in Cs for spec in (c_i_spec, c_j_spec)]
+            + [deg_spec, smem11],
+            out_specs=tuple(
+                spec
+                for _ in Cs
+                for spec in (
+                    smem11,
+                    smem11,
+                    # full-width dC block (like deg): the symmetric sweep
+                    # writes both slice i (row side) and slice j (col side)
+                    # every step, so the block stays resident throughout
+                    pl.BlockSpec(
+                        (1, _P_PAD, n), lambda bi, t, il, jl: (bi, 0, 0)
+                    ),
+                )
+            ),
         ),
         out_shape=tuple(
             shp
@@ -245,7 +309,7 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
             )
         ),
         interpret=interpret,
-    )(nv, x, x, *[cc for Cp in Cps for cc in (Cp, Cp)], deg, inv_e)
+    )(il, jl, nv, x, x, *[cc for Cp in Cps for cc in (Cp, Cp)], deg, inv_e)
 
     traces, dCs = [], []
     for ki, C in enumerate(Cs):

@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     replicate_tree,
     maybe_initialize_distributed,
+    fetch_global,
     host_local_slice,
     pad_to_multiple,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "shard_batch",
     "replicate_tree",
     "maybe_initialize_distributed",
+    "fetch_global",
     "host_local_slice",
     "pad_to_multiple",
 ]

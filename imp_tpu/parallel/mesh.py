@@ -9,8 +9,12 @@ are replicated and the batch axis is sharded over the ``data`` mesh axis;
 gradient all-reduce rides ICI inside the jitted step.
 
 Multi-host pods: call :func:`maybe_initialize_distributed` before anything
-else; the data pipeline shards the global batch per-host via
-``host_local_slice``.
+else.  Every process's loader materializes the identical full global batch
+(seeded, deterministic); :func:`shard_batch` hands it to
+``make_array_from_process_local_data`` with an explicit global shape so each
+device slices out its own shard, and :func:`fetch_global` assembles sharded
+step outputs back on every host for evaluation.  (``host_local_slice`` is
+provided for pipelines that prefer loading only the local slice.)
 """
 
 from __future__ import annotations
@@ -83,9 +87,14 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
                 f"{n_shards}; pad the batch or replicate explicitly"
             )
         if multi_host:
-            # each host feeds its local slice of the global batch (the data
-            # pipeline already loads per-host shards via host_local_slice)
-            return jax.make_array_from_process_local_data(data_sharding, x)
+            # every process loads the FULL global batch (the loaders are
+            # deterministic and identical across hosts); the explicit
+            # global_shape == local shape tells jax the data is the whole
+            # target array — each device slices out its own shard.  Without
+            # it the inferred global would be pc x bigger (duplicated data).
+            return jax.make_array_from_process_local_data(
+                data_sharding, x, global_shape=x.shape
+            )
         return jax.device_put(x, data_sharding)
 
     return jax.tree_util.tree_map(_put, batch)
@@ -98,6 +107,30 @@ def replicate_tree(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def fetch_global(tree):
+    """Host-local numpy copy of (a pytree of) possibly multi-host global
+    arrays.
+
+    Single-process: plain ``jax.device_get``.  On a pod, data-sharded step
+    outputs (eval logits, importance rows) have shards on OTHER processes'
+    devices, so ``device_get`` would fail on non-addressable arrays —
+    ``multihost_utils.process_allgather`` assembles the full value on every
+    process instead, making evaluation/metric readbacks pod-safe (every
+    process computes identical metrics; writers stay primary-only)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: (
+            np.asarray(x)
+            if not hasattr(x, "sharding") or x.is_fully_addressable
+            else multihost_utils.process_allgather(x, tiled=True)
+        ),
+        tree,
+    )
 
 
 def host_local_slice(global_batch_size: int) -> Tuple[int, int]:

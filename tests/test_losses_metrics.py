@@ -130,6 +130,39 @@ def test_cca_loss_matches_torch_svd():
     assert got == pytest.approx(want, rel=1e-3)
 
 
+def test_cca_loss_gradient_matches_torch_svd():
+    """The CCA epoch optimizes grad(cca_loss) wrt the accumulated
+    (h_path, h_omic) activations (ref ``trainer.py:672-739``) — assert the
+    jax gradient matches torch autograd through the SVD on fixed inputs."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(24, 10)).astype(np.float32)
+    Y = (X @ rng.normal(size=(10, 10)).astype(np.float32)) + 0.3 * rng.normal(
+        size=(24, 10)
+    ).astype(np.float32)
+
+    tX = torch.tensor(X, requires_grad=True)
+    tY = torch.tensor(Y, requires_grad=True)
+    Xc = tX - tX.mean(0)
+    Yc = tY - tY.mean(0)
+    Xs = Xc / Xc.std(0, unbiased=False)
+    Ys = Yc / Yc.std(0, unbiased=False)
+    C = Xs.T @ Ys / (tX.size(0) - 1)
+    _, s, _ = torch.svd(C)
+    (1 / (s.sum() / s.numel() + 1e-8)).backward()
+
+    gx, gy = jax.grad(
+        lambda a, b: cca_loss(a, b), argnums=(0, 1)
+    )(jnp.asarray(X), jnp.asarray(Y))
+    np.testing.assert_allclose(
+        np.asarray(gx), tX.grad.numpy(), rtol=2e-3, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gy), tY.grad.numpy(), rtol=2e-3, atol=2e-5
+    )
+
+
 def test_modularity_matches_reference_torch():
     ref_ops = load_ref_ops_utils()
     rng = np.random.default_rng(3)

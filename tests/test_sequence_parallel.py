@@ -180,6 +180,106 @@ def test_mbtrain_sequence_parallel_end_to_end(tmp_path):
     assert np.isfinite(result)
 
 
+def test_sp_translayer_matches_exact_single_device(mesh):
+    """TransLayer with a seq axis (query-banded exact attention, VERDICT r2
+    item 6): deterministic value AND parameter gradient vs the single-device
+    exact (flash/dense) TransLayer on identical params — incl. the res-conv
+    band slicing and mask padding."""
+    from imp_tpu.ops.attention import TransLayer
+
+    b, n, dim = 2, 300, 64  # n NOT divisible by sp=4 -> exercises band pad
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(b, n, dim)), jnp.float32)
+    valid = jnp.asarray(np.arange(n)[None, :] < np.array([[200], [300]]))
+
+    single = TransLayer(dim=dim, impl="flash")
+    sp_layer = TransLayer(dim=dim, seq_axis="seq")
+    params = single.init(
+        {"params": jax.random.PRNGKey(0)}, x, mask=valid, deterministic=True
+    )
+
+    def f_single(p, x):
+        out = single.apply(p, x, mask=valid, deterministic=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    def f_sp(p, x):
+        fn = jax.shard_map(
+            lambda p, x, m: sp_layer.apply(p, x, mask=m, deterministic=True),
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(),
+        )
+        out = fn(p, x, valid)
+        return jnp.sum(out * jnp.cos(out))
+
+    want = float(jax.jit(f_single)(params, x))
+    got = float(jax.jit(f_sp)(params, x))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    g_want = jax.jit(jax.grad(f_single))(params, x)
+    g_got = jax.jit(jax.grad(f_sp))(params, x)
+    for gw, gg in zip(
+        jax.tree_util.tree_leaves(g_want), jax.tree_util.tree_leaves(g_got)
+    ):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_transmil_sequence_parallel_end_to_end(tmp_path):
+    """TransMIL trains with TPU.MESH_AXES=("data","seq") (VERDICT r2 item 6
+    done-criterion): PPEG runs on the gathered grid, TransLayers band-
+    parallelize the attention; eval matches the single-axis flash-attention
+    trainer, and a training epoch runs to a finite loss."""
+    from imp_tpu.config import get_cfg_default
+    from imp_tpu.data import synthetic
+    from imp_tpu.engine import build_trainer
+
+    root = str(tmp_path / "tmildata")
+    synthetic.materialize(root, num_slides=16, bag_min=16, bag_max=48,
+                          feat_dim=32, num_genes=120, group_size=15, seed=0)
+
+    def _cfg(out, axes, shape, attention):
+        cfg = get_cfg_default()
+        cfg.OUTPUT_DIR = str(tmp_path / out)
+        cfg.SEED = 1
+        cfg.DATASET.ROOT = root
+        cfg.DATASET.NAME = "TCGA_Glioma_S_UMEML"
+        cfg.DATASET.FEATURE_NAME = "features_clip_vit_b16"
+        cfg.DATASET.FOLD = 1
+        cfg.DATASET.BAG_PAD = 64
+        cfg.DATASET.PATH.DIM = 32
+        cfg.TASK.NAME = "Survival"
+        cfg.TASK.LOSS = "nllsurvloss"
+        cfg.TEST.EVALUATOR = "Survival"
+        cfg.DATALOADER.TRAIN.BATCH_SIZE = 4
+        cfg.DATALOADER.TEST.BATCH_SIZE = 4
+        cfg.OPTIM.MAX_EPOCH = 1
+        cfg.TRAINER.NAME = "TransMIL"
+        cfg.TPU.MESH_AXES = axes
+        cfg.TPU.MESH_SHAPE = shape
+        cfg.TPU.ATTENTION = attention
+        cfg.TPU.PREFETCH = 0
+        return cfg
+
+    from imp_tpu.ops.attention import set_default_attention_impl
+
+    try:
+        t_sp = build_trainer(_cfg("tm_sp", ("data", "seq"), (4, 2), "auto"))
+        assert t_sp.sp_axis == "seq"
+        # single-device comparison runs the exact kernel too (a seq axis
+        # always uses exact attention; Nyström doesn't decompose over shards)
+        t_dp = build_trainer(_cfg("tm_dp", ("data",), (-1,), "flash"))
+
+        r_sp = t_sp.test()
+        r_dp = t_dp.test()
+        assert r_sp == pytest.approx(r_dp, abs=1e-6)
+
+        result = t_sp.train()
+        assert np.isfinite(result)
+    finally:
+        set_default_attention_impl("nystrom")  # process-global default back
+
+
 def test_sp_self_attention_matches_dense(mesh):
     """Sequence-sharded exact self-attention (all-gather-KV over the flash
     kernel; dense fallback on CPU) — value and gradient vs single-device."""

@@ -152,6 +152,72 @@ def test_mbtrain_umeml_nongan_survival(synth_root, tmp_path):
     assert osp.exists(osp.join(cfg.OUTPUT_DIR, "model", "checkpoint"))
 
 
+def test_mbtrain_use_bsm_multi_chunk_trains(synth_root, tmp_path):
+    """DATASET.USE_BSM: chunk-averaged training (reference ``split_chunk`` +
+    BSM branch, ``mbtrain.py:21-47,114-150``) — the 64-pad bag splits into
+    four 16-token chunks; the loss is the chunk mean of task + ALPHA *
+    modularity and every patch contributes."""
+    cfg = _cfg(
+        synth_root, tmp_path, "MBTRAIN", model_name="umeml", task="Survival",
+        epochs=2,
+    )
+    cfg.DATASET.USE_BSM = True
+    cfg.DATASET.BS_MICRO = 16
+    trainer = build_trainer(cfg)
+    result = trainer.train()
+    assert np.isfinite(result)
+
+
+def test_mbtrain_use_bsm_matches_explicit_chunk_loop(synth_root, tmp_path):
+    """The jitted BSM step's loss must equal an explicit python replication
+    of the reference estimator on the same permutation: partition the padded
+    bag into sorted BS_MICRO-token chunks, full forward per chunk, mean of
+    task + ALPHA * modularity (ref ``mbtrain.py:21-47,114-150``) — this
+    validates the scan/gather/mask plumbing bit-for-bit (the chunk dropout
+    rng folds are replicated exactly)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg(
+        synth_root, tmp_path, "MBTRAIN", model_name="umeml", task="Survival",
+        epochs=1,
+    )
+    cfg.DATASET.USE_BSM = True
+    cfg.DATASET.BS_MICRO = 16
+    cfg.MODEL.UMEML.ALPHA = 2.5
+    trainer = build_trainer(cfg)
+    batch = next(iter(trainer.train_loader))
+    db = trainer._to_device_mb(
+        trainer._host_batch(batch, train=True), batch, "train"
+    )
+    rng = jax.random.PRNGKey(7)
+
+    # explicit replication of the step's chunking + rng folds
+    rng_perm, rng_drop = jax.random.split(rng)
+    n = db["img"].shape[1]
+    n_chunks = -(-n // 16)
+    perm = jax.random.permutation(rng_perm, n_chunks * 16)
+    idx = jnp.sort(perm.reshape(n_chunks, 16), axis=1)
+    total = 0.0
+    for ci in range(n_chunks):
+        take = idx[ci]
+        sub = dict(db)
+        sub["img"] = jnp.take(db["img"], take, axis=1)
+        sub["img_mask"] = jnp.take(db["img_mask"], take, axis=1)
+        out = trainer.model.apply(
+            trainer.state["params"], sub, train=True,
+            rngs={"dropout": jax.random.fold_in(rng_drop, take[0])},
+        )
+        total += float(
+            trainer.task_loss(out["logits"], db)
+            + 2.5 * out["modular_loss"]
+        )
+    want = total / n_chunks
+
+    _, metrics = trainer._train_steps[False](trainer.state, db, rng)
+    np.testing.assert_allclose(float(metrics["loss"]), want, rtol=2e-5)
+
+
 def test_snnm_grading_end_to_end(synth_root, tmp_path):
     """SNNM trainer (chunked SNN + gated pooling, ref ``engine/snnm.py``)."""
     cfg = _cfg(

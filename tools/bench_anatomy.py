@@ -24,17 +24,18 @@ import numpy as np
 
 
 def _chain_time(fn, state0, iters):
-    """Run fn iters times threading state; returns seconds/iter."""
+    """Run fn iters times threading state; returns seconds/iter.  The
+    burn-in and the timed run share one chain (steps may donate their
+    input buffers, so state0 must not be reused after the first call)."""
     s = state0
-    for _ in range(3):  # burn-in (untimed)
+    for _ in range(5):  # burn-in (untimed)
         s = fn(s)
     _force(s)
-    s = state0
     t0 = time.perf_counter()
     for _ in range(iters):
         s = fn(s)
     _force(s)
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters, s
 
 
 def _force(tree):
@@ -73,6 +74,10 @@ def main():
 
     cfg = get_cfg_default()
     cfg.MODEL.HIDDEN_DIM = 256
+    cfg.MODEL.FUSION = "concat"
+    cfg.MODEL.DROPOUT = 0.25
+    cfg.MODEL.UMEML.PROTOTYPES = 6
+    cfg.MODEL.UMEML.REGISTERS = 3
     sizes = [82, 330, 513, 440, 1538, 451]
     starts = np.cumsum([0] + sizes)
     groups = [list(range(starts[i], starts[i + 1])) for i in range(6)]
@@ -90,17 +95,17 @@ def main():
     results = {}
 
     def timed(name, fn, s0):
-        dt = _chain_time(fn, s0, args.iters)
+        dt, s_fin = _chain_time(fn, s0, args.iters)
         results[name] = dt * 1e3
-        print(f"{name:34s} {dt*1e3:7.2f} ms")
+        print(f"{name:34s} {dt*1e3:7.2f} ms", flush=True)
+        return s_fin
 
     # ---- full step (threads full train state) ---------------------------
     def full(s):
         s2, loss = train_step(s, batch, rng, jnp.float32(0.1))
         return s2
 
-    timed("full_train_step", full, state)
-    state, _ = train_step(state, batch, rng, jnp.float32(0.1))  # re-mat state
+    state = timed("full_train_step", full, state)
     params = state["params"]
 
     # ---- encode forward (chained through a scalar into the bag) ---------
@@ -230,8 +235,15 @@ def main():
     @jax.jit
     def head_grad(carry):
         def f(p):
-            out = amp(p, h_path0 + carry, h_omic0, train=True,
-                      method=UMEML_GAN.head)
+            out = model.apply(
+                cast_floats(p, cdtype),
+                cast_floats(h_path0, cdtype) + carry,
+                cast_floats(h_omic0, cdtype),
+                train=True,
+                method=UMEML_GAN.head,
+                rngs={"dropout": rng},
+            )
+            out = cast_floats(out, jnp.float32) if cdtype else out
             return out["logits"].sum() + out["loss_kd"]
 
         g = jax.grad(f)(params)

@@ -89,8 +89,60 @@ def install_ref_stubs(hidden, n_proto):
         sys.path.insert(0, REF)
 
 
+def torch_cca_epoch(model, dm, to_torch, cca_lr=1e-3, threshold=64):
+    """Replica of the reference CCA alignment epoch
+    (``/root/reference/medmm/engine/trainer.py:672-739``): accumulate
+    (h_path, h_omic, similarity-MSE batch loss) over <=64 batches, then one
+    Adam(1e-3) step over ALL model params on
+    ``cca_loss(cat(h_path), cat(h_omic)) + mean(batch_loss)``.  The Adam is
+    created fresh each epoch exactly as the reference does (``:682``).
+    ``cca_loss`` (``trainer.py:46-58``) and the similarity-MSE branch
+    (``mbtrain.py:190-199,491-493``) are transcribed torch formulas."""
+    import torch
+    import torch.nn.functional as F
+
+    def ref_cca_loss(X, Y, epsilon=1e-8):
+        Xc = X - X.mean(0)
+        Yc = Y - Y.mean(0)
+        Xs = Xc / Xc.std(0, unbiased=False)
+        Ys = Yc / Yc.std(0, unbiased=False)
+        C_xy = Xs.T @ Ys / (X.size(0) - 1)
+        u, s, v = torch.svd(C_xy)
+        return 1 / (s.sum() / s.numel() + epsilon)
+
+    def cosine_similarity_matrix(m):
+        return m / m.norm(p=2, dim=1, keepdim=True)
+
+    model.cca = True
+    model.train()
+    cca_opt = torch.optim.Adam(model.parameters(), lr=cca_lr)
+    hp_l, ho_l, bl_l = [], [], []
+    nb = len(dm.train_loader)
+    for bi, batch in enumerate(dm.train_loader):
+        out = model(to_torch(batch))
+        # (h_path, h_omic, p_proto_before, h_omic_bag_before, 'cca')
+        h_path, h_omic, p_b, h_b = out[0], out[1], out[2], out[3]
+        pf = p_b.reshape(p_b.shape[0], -1)
+        hf = h_b.reshape(h_b.shape[0], -1)
+        p_sim = cosine_similarity_matrix(pf @ pf.T)
+        h_sim = cosine_similarity_matrix(hf @ hf.T)
+        bl = F.mse_loss(p_sim, h_sim)
+        hp_l.append(h_path.reshape(h_path.shape[0], -1))
+        ho_l.append(h_omic.reshape(h_omic.shape[0], -1))
+        bl_l.append(bl)
+        if bi == nb - 1 or len(hp_l) == threshold:
+            cca_opt.zero_grad()
+            loss = ref_cca_loss(torch.cat(hp_l), torch.cat(ho_l)) + torch.stack(
+                bl_l
+            ).mean()
+            loss.backward()
+            cca_opt.step()
+            hp_l, ho_l, bl_l = [], [], []
+    model.cca = False
+
+
 def make_cfg(root, out_dir, fold, epochs, hidden, batch,
-             gan_start=None, replace_start=None):
+             gan_start=None, replace_start=None, cca=False):
     from imp_tpu.config import get_cfg_default
 
     cfg = get_cfg_default()
@@ -119,16 +171,15 @@ def make_cfg(root, out_dir, fold, epochs, hidden, batch,
     cfg.MODEL.UMEML.PROTOTYPES = 6
     cfg.MODEL.UMEML.REGISTERS = 3
     cfg.TRAINER.NAME = "MBTRAIN"
-    # CCA off (not replicated on the torch side); GAN curriculum off by
-    # default, on when gan_start/replace_start given (both sides mirror
-    # the trainer's ramp)
+    # GAN curriculum off by default, on when gan_start/replace_start given;
+    # CCA alignment epochs on when --cca (torch side runs torch_cca_epoch)
     cfg.TRAIN.CURRICULUM.GAN_START_EPOCH = (
         gan_start if gan_start is not None else epochs + 1
     )
     cfg.TRAIN.CURRICULUM.REPLACE_START_EPOCH = (
         replace_start if replace_start is not None else epochs + 1
     )
-    cfg.TRAIN.CURRICULUM.CCA_EVERY_EPOCH = False
+    cfg.TRAIN.CURRICULUM.CCA_EVERY_EPOCH = bool(cca)
     cfg.TPU.PREFETCH = 0
     return cfg
 
@@ -238,6 +289,20 @@ def run_torch_fold(cfg, work):
                 opt.zero_grad()
                 loss.backward()
                 opt.step()
+            # CCA alignment epoch after every non-final epoch, mirroring
+            # MBTRAIN.train (the reference runs it inside TrainerBase.train,
+            # ref trainer.py:294-304)
+            if (
+                cur.CCA_EVERY_EPOCH
+                and epoch < cfg.OPTIM.MAX_EPOCH - 1
+            ):
+                # the jax side iterates the SAME epoch's loader order again
+                dm.train_loader.set_epoch(epoch)
+                torch_cca_epoch(
+                    model, dm, to_torch,
+                    cca_lr=float(cur.CCA_LR),
+                    threshold=int(cur.CCA_ACCUM_BATCHES),
+                )
 
         model.eval()
         evaluator = build_evaluator(cfg)
@@ -272,6 +337,9 @@ def main():
                     help="GAN phase start epoch on BOTH sides (default off)")
     ap.add_argument("--replace-start", type=int, default=None,
                     help="replacement-ramp start epoch (default off)")
+    ap.add_argument("--cca", action="store_true",
+                    help="run the CCA alignment epoch after every non-final "
+                         "epoch on BOTH sides (ref trainer.py:672-739)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -309,6 +377,7 @@ def main():
                 args.root, osp.join(args.work, f"jax_f{fold}"), fold,
                 args.epochs, args.hidden, args.batch,
                 gan_start=args.gan_start, replace_start=args.replace_start,
+                cca=args.cca,
             )
             c_jax = run_jax_fold(cfg)
             c_ref = run_torch_fold(cfg, args.work)
