@@ -210,6 +210,12 @@ def get_cfg_default() -> CN:
     _C.TRAIN.CURRICULUM.CCA_EVERY_EPOCH = True
     _C.TRAIN.CURRICULUM.CCA_ACCUM_BATCHES = 64  # ref trainer.py:688
     _C.TRAIN.CURRICULUM.CCA_LR = 1e-3  # ref trainer.py:682
+    # Apply dropout in the CCA alignment forward (the reference keeps the
+    # model in train() mode during run_epoch_cca, ref trainer.py:691 — True
+    # matches that).  False runs the CCA forward deterministically; measured
+    # to stabilise the alignment epoch on some rng streams (BASELINE.md,
+    # round-3 CCA study) while leaving the estimator's fixed point unchanged.
+    _C.TRAIN.CURRICULUM.CCA_DROPOUT = True
 
     _C.TEST = CN()
     _C.TEST.EVALUATOR = "Classification"

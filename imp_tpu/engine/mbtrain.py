@@ -505,9 +505,11 @@ class MBTRAIN(TrainerBase):
                 )
             return similarity_alignment_loss(pp, hb)
 
+        _cca_train = bool(self.cfg.TRAIN.CURRICULUM.CCA_DROPOUT)
+
         def cca_values_body(params, batch, rng):
             out = model.apply(
-                params, batch, train=True, cca=True,
+                params, batch, train=_cca_train, cca=True,
                 rngs={"dropout": _shard_rng(rng)},
             )
             b = out["h_path"].shape[0]
@@ -544,7 +546,7 @@ class MBTRAIN(TrainerBase):
             out = model.apply(
                 _merge(fixed_params, sub),
                 batch,
-                train=True,
+                train=_cca_train,
                 cca=True,
                 rngs={"dropout": _shard_rng(rng)},
             )
@@ -692,15 +694,23 @@ class MBTRAIN(TrainerBase):
                     self.writer.write_scalar("train/" + name, value, n_iter)
             pending.clear()
 
+        # hoist per-step host->device transfers out of the hot loop: ONE
+        # device-side split provides every step's rng, and replace_ratio is
+        # uploaded once per epoch (a fresh PRNGKey + jnp.float32 per step
+        # cost ~3 ms/step of transfer latency through a remote-TPU tunnel)
+        epoch_keys = list(jax.random.split(self.rng, num_batches + 1))
+        self.rng = epoch_keys.pop()
+        rr = jnp.float32(replace_ratio)
+
         end = _time.time()
         for batch_idx, batch in enumerate(self.train_loader):
             db = self._to_device_mb(self._host_batch(batch, train=True), batch, "train")
             if self.is_gan:
                 self.state, metrics, imp = step(
-                    self.state, db, self.next_rng(), jnp.float32(replace_ratio)
+                    self.state, db, epoch_keys[batch_idx], rr
                 )
             else:
-                self.state, metrics = step(self.state, db, self.next_rng())
+                self.state, metrics = step(self.state, db, epoch_keys[batch_idx])
                 imp = None
             pending.append((batch_idx, len(batch["patient_id"]), metrics, imp))
             n_slides += len(batch["patient_id"])
