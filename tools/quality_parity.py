@@ -142,7 +142,8 @@ def torch_cca_epoch(model, dm, to_torch, cca_lr=1e-3, threshold=64):
 
 
 def make_cfg(root, out_dir, fold, epochs, hidden, batch,
-             gan_start=None, replace_start=None, cca=False):
+             gan_start=None, replace_start=None, cca=False,
+             bag_pad=64, feat_dim=32):
     from imp_tpu.config import get_cfg_default
 
     cfg = get_cfg_default()
@@ -152,8 +153,8 @@ def make_cfg(root, out_dir, fold, epochs, hidden, batch,
     cfg.DATASET.NAME = "TCGA_Glioma_S_UMEML"
     cfg.DATASET.FEATURE_NAME = "features_clip_vit_b16"
     cfg.DATASET.FOLD = fold
-    cfg.DATASET.BAG_PAD = 64
-    cfg.DATASET.PATH.DIM = 32
+    cfg.DATASET.BAG_PAD = bag_pad
+    cfg.DATASET.PATH.DIM = feat_dim
     cfg.TASK.NAME = "Survival"
     cfg.TASK.LOSS = "nllsurvloss_new"
     cfg.TEST.EVALUATOR = "Survival_UMEML"
@@ -340,6 +341,15 @@ def main():
     ap.add_argument("--cca", action="store_true",
                     help="run the CCA alignment epoch after every non-final "
                          "epoch on BOTH sides (ref trainer.py:672-739)")
+    # canonical-scale knobs (VERDICT r2 item 7: one fold at the shipped
+    # configuration — hidden 256, bag 10k, batch 2, feat 512)
+    ap.add_argument("--bag-min", type=int, default=16)
+    ap.add_argument("--bag-max", type=int, default=48)
+    ap.add_argument("--bag-pad", type=int, default=64)
+    ap.add_argument("--feat-dim", type=int, default=32)
+    ap.add_argument("--genes", type=int, default=120)
+    ap.add_argument("--group-size", type=int, default=15)
+    ap.add_argument("--start-fold", type=int, default=1)
     args = ap.parse_args()
 
     if args.cpu:
@@ -351,8 +361,9 @@ def main():
 
     if not osp.isdir(osp.join(args.root, "tcga_glioma")):
         synthetic.materialize(
-            args.root, num_slides=args.slides, bag_min=16, bag_max=48,
-            feat_dim=32, num_genes=120, group_size=15, seed=0,
+            args.root, num_slides=args.slides, bag_min=args.bag_min,
+            bag_max=args.bag_max, feat_dim=args.feat_dim,
+            num_genes=args.genes, group_size=args.group_size, seed=0,
         )
 
     install_ref_stubs(args.hidden, 6)
@@ -369,7 +380,7 @@ def main():
                 done[r["fold"]] = (r["jax"], r["ref"])
 
     rows = []
-    for fold in range(1, args.folds + 1):
+    for fold in range(args.start_fold, args.start_fold + args.folds):
         if fold in done:
             c_jax, c_ref = done[fold]
         else:
@@ -377,7 +388,7 @@ def main():
                 args.root, osp.join(args.work, f"jax_f{fold}"), fold,
                 args.epochs, args.hidden, args.batch,
                 gan_start=args.gan_start, replace_start=args.replace_start,
-                cca=args.cca,
+                cca=args.cca, bag_pad=args.bag_pad, feat_dim=args.feat_dim,
             )
             c_jax = run_jax_fold(cfg)
             c_ref = run_torch_fold(cfg, args.work)
