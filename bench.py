@@ -187,10 +187,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prec", default="fp32", choices=["fp32", "bf16", "amp"])
     ap.add_argument("--batch-size", type=int, default=2)
+    # in-step knockouts for cost attribution (the honest way to measure a
+    # phase's marginal cost: isolated jit calls carry ~2-4 ms of tunnel
+    # dispatch overhead each, so knockout deltas on the FULL step are used
+    # for the BASELINE.md anatomy instead)
+    for k in ("no-gan", "no-mod", "no-opt", "no-kd"):
+        ap.add_argument(f"--{k}", action="store_true")
     args = ap.parse_args()
 
     batch_size = args.batch_size
-    train_step, state, batch = build_step(batch_size=batch_size, prec=args.prec)
+    train_step, state, batch = build_step(
+        batch_size=batch_size, prec=args.prec, no_gan=args.no_gan,
+        no_mod=args.no_mod, no_opt=args.no_opt, no_kd=args.no_kd)
 
     # warmup / compile.  NOTE: under this environment's remote-TPU tunnel
     # block_until_ready() does NOT wait for device completion, so timing

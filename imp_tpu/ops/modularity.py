@@ -55,8 +55,28 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_BLOCK = 512  # row/col tile size of the streaming passes
+_BLOCK = 512  # row/col tile size of the streaming passes.  640 measured
+# ~6% faster standalone (5.24 vs 5.58 ms fwd+bwd at the reference
+# envelope) but needs >16 MiB scoped VMEM when embedded in the train step
+# (compiler_params below) and could not be hardware-revalidated embedded
+# before the round's TPU tunnel outage — 512 is the safe default; 768
+# exceeds VMEM outright.
 _P_PAD = 8  # prototype axis padded to the fp32 sublane tile
+
+# NOTE on precision: bf16 MXU operands were measured NEUTRAL-TO-WORSE for
+# every contraction in this module at the reference envelope (this chip
+# runs fp32 matmuls at full MXU rate — BASELINE.md r3 anatomy), so all
+# dots stay fp32.
+# dC reduction backend: "mxu" = per-prototype [ti,tj]x[tj,1] dot_generals,
+# "vpu" = masked broadcast-multiply + row reduction, "none" = skip dC
+# (measurement only — gradients would be wrong).  The N=1 matvecs waste
+# 127/128 of the MXU; the VPU reduction measured 3.0 -> 1.6 ms at the
+# reference envelope, so "vpu" is the default.
+DC_MODE = "vpu"
+# degree backend: "pallas" = symmetric triangular sweep (row+col sums per
+# upper-triangle tile, adjacency recomputed in VMEM), "xla" = blocked scan
+# (materializes [B, block, N] stripes through HBM)
+DEG_MODE = "pallas"
 
 
 def _l2_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
@@ -148,40 +168,145 @@ def _combined_kernel(
             s1_ref[0, 0, 0] += sym * jnp.sum(a * delta)
             q_ref[0, 0, 0] += sym * jnp.sum(delta * dd)
             w = a_m_dd * ((1.0 - delta * delta) * inv_temp)
-            dc = jnp.concatenate(
-                [
+            if DC_MODE == "none":
+                continue
+            if DC_MODE == "vpu":
+                # ONE masked-w select per prototype feeds BOTH the row-side
+                # (dC[p, I] += 2 Σ_J m·c_j[p, J]) and the transposed
+                # col-side (dC[p, J] += 2 Σ_I m·c_i[p, I]) reductions; the
+                # col side is computed unconditionally (diagonal tiles are
+                # ~nb of ~nb²/2 — cheaper than re-masking under the branch)
+                # and only its WRITE is guarded.
+                rows, cols = [], []
+                for pi in range(pc):
+                    m = jnp.where(best_p == pi, w, 0.0)
+                    rows.append(
+                        2.0
+                        * jnp.sum(
+                            m * c_j[pi][None, :], axis=1, dtype=jnp.float32
+                        )[None, :]
+                    )
+                    cols.append(
+                        2.0
+                        * jnp.sum(
+                            m * c_i[pi][:, None], axis=0, dtype=jnp.float32
+                        )[None, :]
+                    )
+                dc = jnp.concatenate(
+                    rows + [jnp.zeros((_P_PAD - pc, ti), jnp.float32)], axis=0
+                )
+                dc_t = jnp.concatenate(
+                    cols + [jnp.zeros((_P_PAD - pc, tj), jnp.float32)], axis=0
+                )
+                dc_ref[0, :, pl.ds(i * ti, ti)] += dc
+
+                @pl.when(j > i)
+                def _():
+                    dc_ref[0, :, pl.ds(j * tj, tj)] += dc_t
+
+                continue
+
+            # DC_MODE == "mxu": per-prototype [ti,tj]x[tj,1] matvecs (the
+            # N=1 padding wastes 127/128 of the MXU; kept for A/B only)
+            def _dc_rows(c_other, contract_axis):
+                red = [
                     2.0
                     * jax.lax.dot_general(
                         jnp.where(best_p == pi, w, 0.0),
-                        c_j[pi][:, None],
-                        (((1,), (0,)), ((), ())),
+                        c_other[pi][:, None],
+                        (((contract_axis,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).T
                     for pi in range(pc)
                 ]
-                + [jnp.zeros((_P_PAD - pc, ti), jnp.float32)],
-                axis=0,
-            )  # [P_PAD, TI]
-            dc_ref[0, :, pl.ds(i * ti, ti)] += dc
+                other = ti if contract_axis == 1 else tj
+                return jnp.concatenate(
+                    red + [jnp.zeros((_P_PAD - pc, other), jnp.float32)],
+                    axis=0,
+                )
+
+            dc_ref[0, :, pl.ds(i * ti, ti)] += _dc_rows(c_j, 1)  # [P_PAD, TI]
 
             @pl.when(j > i)
             def _():
                 # transposed contribution: dC[p, J] += 2 Σ_I w·1[argmax=p]·c_i
-                dc_t = jnp.concatenate(
-                    [
-                        2.0
-                        * jax.lax.dot_general(
-                            jnp.where(best_p == pi, w, 0.0),
-                            c_i[pi][:, None],
-                            (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).T
-                        for pi in range(pc)
-                    ]
-                    + [jnp.zeros((_P_PAD - pc, tj), jnp.float32)],
-                    axis=0,
-                )  # [P_PAD, TJ]
-                dc_ref[0, :, pl.ds(j * tj, tj)] += dc_t
+                dc_ref[0, :, pl.ds(j * tj, tj)] += _dc_rows(c_i, 0)
+
+
+_DEG_TBLOCK = 1024  # deg sweep tile (few live intermediates -> larger than
+# _BLOCK; 1024 measured 2.16 vs 2.43 ms at 512, and 2048 exceeds VMEM)
+
+
+def _deg_kernel(il_ref, jl_ref, nv_ref, x_i_ref, x_j_ref, deg_ref):
+    """Symmetric degree sweep: each upper-triangle (i, j) tile contributes
+    its row sums to deg[I] and (for j > i) its column sums to deg[J].  The
+    diagonal is zeroed inside the adjacency tile, so no self-term
+    correction is needed (exact even with bf16 operands)."""
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+    i, j = il_ref[t], jl_ref[t]
+    ti, tj = x_i_ref.shape[1], x_j_ref.shape[1]
+    nv = nv_ref[0, 0, 0]
+
+    @pl.when(t == 0)
+    def _():
+        deg_ref[:] = jnp.zeros_like(deg_ref)
+
+    @pl.when(jnp.logical_and(i * ti < nv, j * tj < nv))
+    def _():
+        a = jax.nn.relu(
+            jax.lax.dot_general(
+                x_i_ref[0], x_j_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        rows = i * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+        cols = j * tj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+        a = jnp.where(rows != cols, a, 0.0)
+        deg_ref[0, 0, pl.ds(i * ti, ti)] += jnp.sum(
+            a, axis=1, dtype=jnp.float32
+        )
+
+        @pl.when(j > i)
+        def _():
+            deg_ref[0, 0, pl.ds(j * tj, tj)] += jnp.sum(
+                a, axis=0, dtype=jnp.float32
+            )
+
+
+def _deg_pallas(norm_x, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n0, d = norm_x.shape
+    blk = _DEG_TBLOCK
+    x = _pad_axis(norm_x, 1, blk)
+    n = x.shape[1]
+    nb = n // blk
+    nv = _valid_lengths(norm_x)[:, None, None]
+    il, jl = _triangle_lists(nb)
+    ntri = il.size
+    il, jl = jnp.asarray(il), jnp.asarray(jl)
+
+    smem11 = pl.BlockSpec(
+        (1, 1, 1), lambda bi, t, il, jl: (bi, 0, 0), memory_space=pltpu.SMEM
+    )
+    x_i_spec = pl.BlockSpec((1, blk, d), lambda bi, t, il, jl: (bi, il[t], 0))
+    x_j_spec = pl.BlockSpec((1, blk, d), lambda bi, t, il, jl: (bi, jl[t], 0))
+
+    deg = pl.pallas_call(
+        _deg_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, ntri),
+            in_specs=[smem11, x_i_spec, x_j_spec],
+            out_specs=pl.BlockSpec((1, 1, n), lambda bi, t, il, jl: (bi, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        interpret=interpret,
+    )(il, jl, nv, x, x)
+    return deg[:, 0, :n0]
 
 
 def _valid_lengths(norm_x):
@@ -219,11 +344,12 @@ def _deg_xla(norm_x):
     x = _pad_axis(norm_x, 1, _DEG_BLOCK)
     nb = x.shape[1] // _DEG_BLOCK
     xb = jnp.moveaxis(x.reshape(b, nb, _DEG_BLOCK, d), 1, 0)
+    rhs = norm_x
 
     def step(_, x_blk):
         a = jax.nn.relu(
             jnp.einsum(
-                "brd,bnd->brn", x_blk, norm_x,
+                "brd,bnd->brn", x_blk, rhs,
                 preferred_element_type=jnp.float32,
             )
         )
@@ -266,7 +392,12 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
     )
     deg_spec = pl.BlockSpec((1, 1, n), lambda bi, t, il, jl: (bi, 0, 0))
 
-    deg = _pad_axis(_deg_xla(norm_x), 1, _BLOCK)[:, None, :]  # [B, 1, n]
+    deg_vec = (
+        _deg_pallas(norm_x, interpret=interpret)
+        if DEG_MODE == "pallas"
+        else _deg_xla(norm_x)
+    )
+    deg = _pad_axis(deg_vec, 1, _BLOCK)[:, None, :]  # [B, 1, n]
 
     e = jnp.maximum(deg.sum(axis=(1, 2)), 1e-12)
     inv_e = (1.0 / e)[:, None, None]
@@ -306,6 +437,17 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
             )
         ),
         interpret=interpret,
+        # the 640-tile working set slightly exceeds the default 16 MiB
+        # scoped-vmem budget when embedded in the train step
+        **(
+            {
+                "compiler_params": pltpu.CompilerParams(
+                    vmem_limit_bytes=24 * 1024 * 1024
+                )
+            }
+            if _BLOCK > 512 and not interpret
+            else {}
+        ),
     )(il, jl, nv, x, x, *[cc for Cp in Cps for cc in (Cp, Cp)], deg, inv_e)
 
     traces, dCs = [], []

@@ -50,7 +50,11 @@ def main():
     ap.add_argument("--prec", default="fp32", choices=["fp32", "bf16"])
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--only", default="",
+                    help="comma-separated substrings; time only matching "
+                         "sections (others are skipped entirely)")
     args = ap.parse_args()
+    only = [s for s in args.only.split(",") if s]
 
     import jax
     import jax.numpy as jnp
@@ -95,6 +99,8 @@ def main():
     results = {}
 
     def timed(name, fn, s0):
+        if only and not any(pat in name for pat in only):
+            return s0
         dt, s_fin = _chain_time(fn, s0, args.iters)
         results[name] = dt * 1e3
         print(f"{name:34s} {dt*1e3:7.2f} ms", flush=True)

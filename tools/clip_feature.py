@@ -32,9 +32,14 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
 
 
-def preprocess(path: str, size: int) -> np.ndarray:
+def preprocess(path: str, size: int, as_uint8: bool = False) -> np.ndarray:
     """resize(shorter=size, bicubic) -> center crop -> normalize
-    (the reference uses clip.load()'s preprocess with the same steps)."""
+    (the reference uses clip.load()'s preprocess with the same steps).
+
+    With ``as_uint8`` the normalize step is left to the device (see
+    ``device_normalize``): the host emits raw uint8 pixels, quartering the
+    host->device transfer and skipping two fp32 passes per pixel on the
+    decode thread."""
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
@@ -44,8 +49,21 @@ def preprocess(path: str, size: int) -> np.ndarray:
     w, h = img.size
     left, top = (w - size) // 2, (h - size) // 2
     img = img.crop((left, top, left + size, top + size))
+    if as_uint8:
+        return np.asarray(img, np.uint8)
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
+
+
+def device_normalize(x, dtype):
+    """uint8 [B,H,W,3] -> normalized float on device (fused into the jitted
+    encode; pixel math is a negligible VPU epilogue next to the ViT)."""
+    import jax.numpy as jnp
+
+    x = x.astype(dtype) / jnp.asarray(255.0, dtype)
+    mean = jnp.asarray(CLIP_MEAN, dtype)
+    std = jnp.asarray(CLIP_STD, dtype)
+    return (x - mean) / std
 
 
 def load_checkpoint_params(path: str, model_name: str):
@@ -92,18 +110,18 @@ def main():
     else:
         raise SystemExit("Provide --checkpoint or --random-weights")
 
+    cdtype = jnp.bfloat16 if args.prec == "bf16" else jnp.float32
     if args.prec == "bf16":
-        import jax.numpy as _jnp
-
         params = jax.tree_util.tree_map(
-            lambda a: a.astype(_jnp.bfloat16) if a.dtype == _jnp.float32 else a,
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
             params,
         )
-        encode = jax.jit(
-            lambda p, x: model.apply(p, x.astype(_jnp.bfloat16)).astype(_jnp.float32)
+
+    @jax.jit
+    def encode(p, x_u8):  # uint8 in, normalize on device
+        return model.apply(p, device_normalize(x_u8, cdtype)).astype(
+            jnp.float32
         )
-    else:
-        encode = jax.jit(lambda p, x: model.apply(p, x))
 
     os.makedirs(args.dst, exist_ok=True)
     slides = sorted(
@@ -130,7 +148,10 @@ def main():
             for s in range(0, len(patches), bs):
                 chunk = patches[s : s + bs]
                 arr = np.stack(
-                    [preprocess(osp.join(sdir, p), size) for p in chunk]
+                    [
+                        preprocess(osp.join(sdir, p), size, as_uint8=True)
+                        for p in chunk
+                    ]
                 )
                 if len(chunk) < bs:  # pad to the static batch
                     arr = np.pad(arr, ((0, bs - len(chunk)), (0, 0), (0, 0), (0, 0)))
@@ -139,14 +160,21 @@ def main():
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        feats = []
+        # lag-2 readback: keep two batches in flight so the next host->device
+        # upload and the current encode overlap instead of serializing on
+        # each np.asarray readback
+        feats, inflight = [], []
         while True:
             item = q.get()
             if item is None:
                 break
             arr, n = item
-            out = encode(params, jnp.asarray(arr))
-            feats.append(np.asarray(out[:n]))
+            inflight.append((encode(params, jnp.asarray(arr)), n))
+            if len(inflight) > 2:
+                out, k = inflight.pop(0)
+                feats.append(np.asarray(out[:k]))
+        for out, k in inflight:
+            feats.append(np.asarray(out[:k]))
         t.join()
         feats = np.concatenate(feats, axis=0)
         import h5py

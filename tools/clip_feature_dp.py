@@ -28,7 +28,12 @@ sys.path.insert(0, _HERE)
 
 import numpy as np
 
-from clip_feature import IMG_EXTS, load_checkpoint_params, preprocess
+from clip_feature import (
+    IMG_EXTS,
+    device_normalize,
+    load_checkpoint_params,
+    preprocess,
+)
 
 # short flag -> canonical CLIP name (reference clip_feature_dp.py:31-49)
 MODEL_FLAGS = {
@@ -83,20 +88,20 @@ def main():
     bs = -(-args.batch_size // len(devices)) * len(devices)
     params = jax.device_put(params, NamedSharding(mesh, P()))  # replicate
 
+    cdtype = jnp.bfloat16 if args.prec == "bf16" else jnp.float32
     if args.prec == "bf16":
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
             params,
         )
-        encode = jax.jit(
-            lambda p, x: model.apply(p, x.astype(jnp.bfloat16)).astype(jnp.float32),
-            out_shardings=NamedSharding(mesh, P("data")),
-        )
-    else:
-        encode = jax.jit(
-            lambda p, x: model.apply(p, x),
-            out_shardings=NamedSharding(mesh, P("data")),
-        )
+
+    encode = jax.jit(
+        # uint8 batches in, normalization fused on device (clip_feature.py)
+        lambda p, x: model.apply(
+            p, device_normalize(x, cdtype)
+        ).astype(jnp.float32),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
 
     output_dir = osp.join(args.output_dir, args.model, args.dataset)
     os.makedirs(output_dir, exist_ok=True)
@@ -134,7 +139,10 @@ def main():
             for s in range(0, len(patches), bs):
                 chunk = patches[s : s + bs]
                 arr = np.stack(
-                    [preprocess(osp.join(sdir, p), size) for p in chunk]
+                    [
+                        preprocess(osp.join(sdir, p), size, as_uint8=True)
+                        for p in chunk
+                    ]
                 )
                 if len(chunk) < bs:  # pad to the static sharded batch
                     arr = np.pad(
@@ -145,14 +153,21 @@ def main():
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        feats = []
+        # lag-2 readback keeps two sharded batches in flight (upload and
+        # encode overlap instead of serializing on every readback)
+        feats, inflight = [], []
         while True:
             item = q.get()
             if item is None:
                 break
             arr, n = item
             x = jax.device_put(jnp.asarray(arr), batch_sharding)
-            feats.append(np.asarray(encode(params, x))[:n])
+            inflight.append((encode(params, x), n))
+            if len(inflight) > 2:
+                out, k = inflight.pop(0)
+                feats.append(np.asarray(out)[:k])
+        for out, k in inflight:
+            feats.append(np.asarray(out)[:k])
         t.join()
         import h5py
 
