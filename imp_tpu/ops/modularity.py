@@ -111,8 +111,16 @@ def _adjacency_tile(x_i, x_j, i, j, ti, tj):
     return jnp.where(rows != cols, a, 0.0)
 
 
+def _clamp_block(idx, nvb_bi):
+    """Clamp a tile index to the slide's last VALID block: tiles past the
+    valid length are compute-skipped (pl.when below), and clamping their
+    index maps to a repeated block elides the DMA entirely — a short slide
+    in a long pad moves no data for its dead tiles."""
+    return jnp.minimum(idx, jnp.maximum(nvb_bi - 1, 0))
+
+
 def _combined_kernel(
-    il_ref, jl_ref, nv_ref, x_i_ref, x_j_ref, *refs,
+    il_ref, jl_ref, nvb_ref, x_i_ref, x_j_ref, *refs,
     inv_temp: float, p_counts: Tuple[int, ...]
 ):
     """refs = [c_i, c_j] * K + [deg, inv_e] + [s1, q, dc] * K."""
@@ -126,7 +134,7 @@ def _combined_kernel(
     t = pl.program_id(1)
     i, j = il_ref[t], jl_ref[t]
     ti, tj = x_i_ref.shape[1], x_j_ref.shape[1]
-    nv = nv_ref[0, 0, 0]
+    nvb = nvb_ref[pl.program_id(0)]
 
     @pl.when(t == 0)
     def _():
@@ -142,7 +150,7 @@ def _combined_kernel(
     # dC gets a row-side (slice i) plus a transposed col-side (slice j)
     # contribution from each such tile.  This halves the dominant VPU chain
     # (max-loop/tanh/w), the MXU work and the tile DMA.
-    @pl.when(jnp.logical_and(i * ti < nv, j * tj < nv))
+    @pl.when(jnp.logical_and(i < nvb, j < nvb))
     def _():
         a = _adjacency_tile(x_i_ref[0], x_j_ref[0], i, j, ti, tj)
         deg_i = deg_ref[0, 0, pl.ds(i * ti, ti)]
@@ -237,7 +245,7 @@ _DEG_TBLOCK = 1024  # deg sweep tile (few live intermediates -> larger than
 # _BLOCK; 1024 measured 2.16 vs 2.43 ms at 512, and 2048 exceeds VMEM)
 
 
-def _deg_kernel(il_ref, jl_ref, nv_ref, x_i_ref, x_j_ref, deg_ref):
+def _deg_kernel(il_ref, jl_ref, nvb_ref, x_i_ref, x_j_ref, deg_ref):
     """Symmetric degree sweep: each upper-triangle (i, j) tile contributes
     its row sums to deg[I] and (for j > i) its column sums to deg[J].  The
     diagonal is zeroed inside the adjacency tile, so no self-term
@@ -247,13 +255,13 @@ def _deg_kernel(il_ref, jl_ref, nv_ref, x_i_ref, x_j_ref, deg_ref):
     t = pl.program_id(1)
     i, j = il_ref[t], jl_ref[t]
     ti, tj = x_i_ref.shape[1], x_j_ref.shape[1]
-    nv = nv_ref[0, 0, 0]
+    nvb = nvb_ref[pl.program_id(0)]
 
     @pl.when(t == 0)
     def _():
         deg_ref[:] = jnp.zeros_like(deg_ref)
 
-    @pl.when(jnp.logical_and(i * ti < nv, j * tj < nv))
+    @pl.when(jnp.logical_and(i < nvb, j < nvb))
     def _():
         a = jax.nn.relu(
             jax.lax.dot_general(
@@ -284,28 +292,33 @@ def _deg_pallas(norm_x, interpret=False):
     x = _pad_axis(norm_x, 1, blk)
     n = x.shape[1]
     nb = n // blk
-    nv = _valid_lengths(norm_x)[:, None, None]
+    nvb = (-(-_valid_lengths(norm_x) // blk)).astype(jnp.int32)
     il, jl = _triangle_lists(nb)
     ntri = il.size
     il, jl = jnp.asarray(il), jnp.asarray(jl)
 
-    smem11 = pl.BlockSpec(
-        (1, 1, 1), lambda bi, t, il, jl: (bi, 0, 0), memory_space=pltpu.SMEM
+    x_i_spec = pl.BlockSpec(
+        (1, blk, d),
+        lambda bi, t, il, jl, nvb: (bi, _clamp_block(il[t], nvb[bi]), 0),
     )
-    x_i_spec = pl.BlockSpec((1, blk, d), lambda bi, t, il, jl: (bi, il[t], 0))
-    x_j_spec = pl.BlockSpec((1, blk, d), lambda bi, t, il, jl: (bi, jl[t], 0))
+    x_j_spec = pl.BlockSpec(
+        (1, blk, d),
+        lambda bi, t, il, jl, nvb: (bi, _clamp_block(jl[t], nvb[bi]), 0),
+    )
 
     deg = pl.pallas_call(
         _deg_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, ntri),
-            in_specs=[smem11, x_i_spec, x_j_spec],
-            out_specs=pl.BlockSpec((1, 1, n), lambda bi, t, il, jl: (bi, 0, 0)),
+            in_specs=[x_i_spec, x_j_spec],
+            out_specs=pl.BlockSpec(
+                (1, 1, n), lambda bi, t, il, jl, nvb: (bi, 0, 0)
+            ),
         ),
         out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         interpret=interpret,
-    )(il, jl, nv, x, x)
+    )(il, jl, nvb, x, x)
     return deg[:, 0, :n0]
 
 
@@ -371,26 +384,40 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
     nb = n // _BLOCK
     p_counts = tuple(C.shape[1] for C in Cs)
     Cps = [_pad_axis(_pad_axis(C, 1, _P_PAD), 2, _BLOCK) for C in Cs]
-    nv = _valid_lengths(norm_x)[:, None, None]  # [B,1,1]
+    nvb = -(-_valid_lengths(norm_x) // _BLOCK)  # valid BLOCK count per slide
     il, jl = _triangle_lists(nb)
     ntri = il.size
     il, jl = jnp.asarray(il), jnp.asarray(jl)
 
     # scalar-prefetched triangular grid: (bi, t) with t enumerating only
     # j >= i tiles — index maps read the prefetched lists, so below-diagonal
-    # tiles are never DMA'd at all
+    # tiles are never DMA'd at all; indices clamp to the slide's last valid
+    # block (_clamp_block), so compute-skipped tiles past the valid length
+    # repeat a resident block and move no data either
     smem11 = pl.BlockSpec(
-        (1, 1, 1), lambda bi, t, il, jl: (bi, 0, 0), memory_space=pltpu.SMEM
+        (1, 1, 1),
+        lambda bi, t, il, jl, nvb: (bi, 0, 0),
+        memory_space=pltpu.SMEM,
     )
-    x_i_spec = pl.BlockSpec((1, _BLOCK, d), lambda bi, t, il, jl: (bi, il[t], 0))
-    x_j_spec = pl.BlockSpec((1, _BLOCK, d), lambda bi, t, il, jl: (bi, jl[t], 0))
+    x_i_spec = pl.BlockSpec(
+        (1, _BLOCK, d),
+        lambda bi, t, il, jl, nvb: (bi, _clamp_block(il[t], nvb[bi]), 0),
+    )
+    x_j_spec = pl.BlockSpec(
+        (1, _BLOCK, d),
+        lambda bi, t, il, jl, nvb: (bi, _clamp_block(jl[t], nvb[bi]), 0),
+    )
     c_i_spec = pl.BlockSpec(
-        (1, _P_PAD, _BLOCK), lambda bi, t, il, jl: (bi, 0, il[t])
+        (1, _P_PAD, _BLOCK),
+        lambda bi, t, il, jl, nvb: (bi, 0, _clamp_block(il[t], nvb[bi])),
     )
     c_j_spec = pl.BlockSpec(
-        (1, _P_PAD, _BLOCK), lambda bi, t, il, jl: (bi, 0, jl[t])
+        (1, _P_PAD, _BLOCK),
+        lambda bi, t, il, jl, nvb: (bi, 0, _clamp_block(jl[t], nvb[bi])),
     )
-    deg_spec = pl.BlockSpec((1, 1, n), lambda bi, t, il, jl: (bi, 0, 0))
+    deg_spec = pl.BlockSpec(
+        (1, 1, n), lambda bi, t, il, jl, nvb: (bi, 0, 0)
+    )
 
     deg_vec = (
         _deg_pallas(norm_x, interpret=interpret)
@@ -407,9 +434,9 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
             _combined_kernel, inv_temp=1.0 / temp, p_counts=p_counts
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, ntri),
-            in_specs=[smem11, x_i_spec, x_j_spec]
+            in_specs=[x_i_spec, x_j_spec]
             + [spec for _ in Cs for spec in (c_i_spec, c_j_spec)]
             + [deg_spec, smem11],
             out_specs=tuple(
@@ -422,7 +449,8 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
                     # writes both slice i (row side) and slice j (col side)
                     # every step, so the block stays resident throughout
                     pl.BlockSpec(
-                        (1, _P_PAD, n), lambda bi, t, il, jl: (bi, 0, 0)
+                        (1, _P_PAD, n),
+                        lambda bi, t, il, jl, nvb: (bi, 0, 0),
                     ),
                 )
             ),
@@ -448,7 +476,10 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
             if _BLOCK > 512 and not interpret
             else {}
         ),
-    )(il, jl, nv, x, x, *[cc for Cp in Cps for cc in (Cp, Cp)], deg, inv_e)
+    )(
+        il, jl, nvb.astype(jnp.int32), x, x,
+        *[cc for Cp in Cps for cc in (Cp, Cp)], deg, inv_e,
+    )
 
     traces, dCs = [], []
     for ki, C in enumerate(Cs):
