@@ -319,3 +319,34 @@ def test_umeml_gan_plot_similarity_pngs(synth_root, tmp_path):
     assert np.isfinite(trainer.train())
     pngs = glob.glob(osp.join(cfg.OUTPUT_DIR, "plots", "sim_*.png"))
     assert len(pngs) == len(trainer.test_loader.dataset)
+
+
+def test_mbtrain_cca_dropout_knob(synth_root, tmp_path):
+    """TRAIN.CURRICULUM.CCA_DROPOUT=False runs the CCA alignment forward
+    deterministically: its (h_path, h_omic) must be independent of the
+    dropout rng, while the default (True, reference behavior
+    ``trainer.py:694``) must depend on it."""
+    import jax
+    import jax.numpy as jnp
+
+    for knob, expect_same in ((False, True), (True, False)):
+        cfg = _cfg(
+            synth_root, tmp_path / f"cca_{knob}", "MBTRAIN",
+            model_name="umeml_gan", task="Survival", epochs=1,
+        )
+        cfg.TRAIN.CURRICULUM.CCA_DROPOUT = knob
+        trainer = build_trainer(cfg)
+        batch = next(iter(trainer.train_loader))
+        db = trainer._to_device_mb(
+            trainer._host_batch(batch, train=True), batch, "train"
+        )
+        hp1, ho1, _ = trainer._cca_values(
+            trainer.state["params"], db, jax.random.PRNGKey(1)
+        )
+        hp2, ho2, _ = trainer._cca_values(
+            trainer.state["params"], db, jax.random.PRNGKey(2)
+        )
+        same = bool(
+            jnp.array_equal(hp1, hp2) and jnp.array_equal(ho1, ho2)
+        )
+        assert same == expect_same, (knob, same)
