@@ -16,12 +16,16 @@ Here the O(N²) reductions run in exactly TWO streaming passes:
    prototype cotangent is produced in the same pass and stashed as the
    :func:`jax.custom_vjp` residual (the backward is then a single scale).
 
-On TPU the degree pass is a blocked XLA scan (fused matmul+relu+rowsum —
-measured faster than a hand-written triangular pallas sweep, whose [1, N]
-row accumulation wastes VPU sublanes) and the combined pass is a Pallas
-kernel: each (i, j) tile of the adjacency / assignment products lives only
-in VMEM, the MXU does the x̂_I x̂_Jᵀ contraction, and only O(N) results
-(degrees, dC, per-set scalars) ever reach HBM.  Two further structural wins:
+On TPU both passes are Pallas kernels sweeping only the upper triangle
+(everything is symmetric under (I, J) exchange): the degree kernel
+accumulates row AND column sums per tile into a resident [1, N] block, and
+the combined kernel produces the per-set scalars plus dC in the same sweep
+— each (i, j) tile of the adjacency / assignment products lives only in
+VMEM, the MXU does the x̂_I x̂_Jᵀ contraction, and only O(N) results
+(degrees, dC, per-set scalars) ever reach HBM.  dC reductions run on the
+VPU (masked row/col sums): the natural per-prototype [t,t]x[t,1] matvecs
+waste 127/128 of the MXU and measured ~2x slower.  Two further structural
+wins:
 
 * the model's two modularity terms share one bag
   (``compute_modularity(p_proto, bag) + compute_modularity(h_omic, bag)``,
@@ -29,9 +33,11 @@ in VMEM, the MXU does the x̂_I x̂_Jᵀ contraction, and only O(N) results
   so the adjacency matmul and the degree pass run ONCE for both prototype
   sets;
 * tiles whose rows or columns lie entirely beyond a slide's valid length
-  are skipped at runtime (``pl.when`` on the per-slide token count), so a
-  3k-token slide in a 10k pad does ~1/10th of the tile work — mirroring the
-  reference, which computes on the unpadded variable-length bag.
+  are skipped at runtime (``pl.when`` on the per-slide valid-block count)
+  AND their index maps clamp to the last valid block so the skipped tiles
+  move no data either — a 3k-token slide in a 10k pad does ~1/10th of the
+  tile work and DMA, mirroring the reference, which computes on the
+  unpadded variable-length bag.
 
 Off-TPU (CPU tests) the same math streams through a ``lax.scan`` over row
 blocks.
@@ -349,10 +355,10 @@ def _deg_xla(norm_x):
     fused matmul+relu+rowsum over full row stripes, then subtract the
     diagonal (x̂_i·x̂_i = 1 on every valid row, 0 on masked rows).
 
-    Measured FASTER than a triangular pallas deg kernel at the reference
-    envelope (3.3 vs 3.8 ms for the sweep) — XLA's fusion keeps the MXU
-    busier than the row-resident [1, N] accumulation pattern, which wastes
-    VPU sublanes on 1-row updates."""
+    Kept as the ``DEG_MODE="xla"`` fallback: it beat round-2's row-resident
+    [1, N] pallas accumulation (3.3 vs 3.8 ms) but loses to the round-3
+    symmetric triangular sweep above (2.44 vs 2.16 ms), which avoids
+    round-tripping the [B, block, N] stripes through HBM."""
     b, n, d = norm_x.shape
     x = _pad_axis(norm_x, 1, _DEG_BLOCK)
     nb = x.shape[1] // _DEG_BLOCK
