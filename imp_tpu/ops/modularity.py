@@ -83,6 +83,9 @@ DC_MODE = "vpu"
 # upper-triangle tile, adjacency recomputed in VMEM), "xla" = blocked scan
 # (materializes [B, block, N] stripes through HBM)
 DEG_MODE = "pallas"
+# clamp dead-tile index maps to the last valid block (DMA elision for
+# compute-skipped tiles); False restores unclamped maps (rescue knob)
+CLAMP_DEAD_TILES = True
 
 
 def _l2_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
@@ -121,7 +124,11 @@ def _clamp_block(idx, nvb_bi):
     """Clamp a tile index to the slide's last VALID block: tiles past the
     valid length are compute-skipped (pl.when below), and clamping their
     index maps to a repeated block elides the DMA entirely — a short slide
-    in a long pad moves no data for its dead tiles."""
+    in a long pad moves no data for its dead tiles.  (Computed index maps
+    over scalar-prefetch values are the same pattern the official pallas
+    flash kernels use for causal block skipping.)"""
+    if not CLAMP_DEAD_TILES:
+        return idx
     return jnp.minimum(idx, jnp.maximum(nvb_bi - 1, 0))
 
 
