@@ -253,11 +253,12 @@ def test_modularity_pallas_backend_matches_scan():
     from imp_tpu.ops import modularity as M
 
     rng = np.random.default_rng(10)
-    x = jnp.asarray(rng.normal(size=(2, 50, 16)).astype(np.float32))
-    c1 = jnp.asarray(rng.normal(size=(2, 3, 16)).astype(np.float32))
-    c2 = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
-    # slide 0 masked to 18 of 50 tokens -> several fully-masked tiles
-    valid = jnp.asarray(np.arange(50)[None, :] < np.array([[18], [50]]))
+    x = jnp.asarray(rng.normal(size=(3, 50, 16)).astype(np.float32))
+    c1 = jnp.asarray(rng.normal(size=(3, 3, 16)).astype(np.float32))
+    c2 = jnp.asarray(rng.normal(size=(3, 5, 16)).astype(np.float32))
+    # slide 0 masked to 18 of 50 tokens -> several fully-masked tiles;
+    # slide 2 ALL-masked -> nvb=0 (dead-tile index clamp edge case)
+    valid = jnp.asarray(np.arange(50)[None, :] < np.array([[18], [50], [0]]))
     nx = M._l2_normalize(x, axis=2) * valid[..., None]
     Cs = []
     for c in (c1, c2):
