@@ -59,5 +59,15 @@ if __name__ == "__main__":
     parser.add_argument(
         "--umeml_gan_test_insample_without_omic_ratio", type=float, default=0
     )
+    parser.add_argument(
+        "--platform", type=str, default="",
+        help="force a jax platform (e.g. 'cpu'); JAX_PLATFORMS alone is "
+             "ignored by this environment's TPU plugin",
+    )
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
-    main(parser.parse_args())
+    _args = parser.parse_args()
+    if _args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", _args.platform)
+    main(_args)

@@ -101,7 +101,18 @@ if __name__ == "__main__":
         help="fraction of omics features deleted per eval sample",
     )
     parser.add_argument(
+        "--platform", type=str, default="",
+        help="force a jax platform (e.g. 'cpu'): this environment's TPU "
+             "plugin ignores JAX_PLATFORMS, so forcing must go through "
+             "jax.config before backend init",
+    )
+    parser.add_argument(
         "opts", default=None, nargs=argparse.REMAINDER,
         help="modify config via KEY VALUE pairs",
     )
-    main(parser.parse_args())
+    _args = parser.parse_args()
+    if _args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", _args.platform)
+    main(_args)
