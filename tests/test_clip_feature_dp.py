@@ -70,3 +70,23 @@ def test_clip_feature_dp_sharded_extraction(tmp_path, monkeypatch):
     assert not (base / "single.h5").exists()
     # resume: a second run skips completed slides without error
     tool.main()
+
+
+def test_uint8_device_normalize_matches_host_preprocess(tmp_path):
+    """The uint8-H2D pipeline (host resize/crop only, normalize fused on
+    device) must produce the same tensor as the original host-side fp32
+    preprocess (reference clip.load() preprocess semantics)."""
+    pytest.importorskip("PIL")
+    import jax.numpy as jnp
+    from PIL import Image
+
+    cf = _load_tool("clip_feature")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    p = tmp_path / "patch.png"
+    Image.fromarray(img).save(p)
+
+    host = cf.preprocess(str(p), 32)  # fp32, normalized on host
+    u8 = cf.preprocess(str(p), 32, as_uint8=True)
+    dev = np.asarray(cf.device_normalize(jnp.asarray(u8), jnp.float32))
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
