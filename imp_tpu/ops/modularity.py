@@ -61,12 +61,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_BLOCK = 512  # row/col tile size of the streaming passes.  640 measured
-# ~6% faster standalone (5.24 vs 5.58 ms fwd+bwd at the reference
-# envelope) but needs >16 MiB scoped VMEM when embedded in the train step
-# (compiler_params below) and could not be hardware-revalidated embedded
-# before the round's TPU tunnel outage — 512 is the safe default; 768
-# exceeds VMEM outright.
+_BLOCK = 512  # row/col tile size of the streaming passes.  The combined
+# kernel's scoped-VMEM need exceeds the 16 MiB default even at 512 once
+# embedded in the train step (16.09 MiB), so the pallas_call always raises
+# the limit (compiler_params below).  640 measured ~6% faster standalone
+# (5.24 vs 5.58 ms fwd+bwd at the reference envelope); 768 exceeds VMEM
+# outright.
 _P_PAD = 8  # prototype axis padded to the fp32 sublane tile
 
 # NOTE on precision: bf16 MXU operands were measured NEUTRAL-TO-WORSE for
@@ -478,15 +478,17 @@ def _pallas_passes(norm_x, Cs, temp, interpret=False):
             )
         ),
         interpret=interpret,
-        # the 640-tile working set slightly exceeds the default 16 MiB
-        # scoped-vmem budget when embedded in the train step
+        # the combined kernel's working set slightly exceeds the default
+        # 16 MiB scoped-vmem budget when embedded in the train step (16.09M
+        # at _BLOCK=512 with the VPU dC reductions; more at 640) — raise the
+        # per-kernel scoped limit unconditionally (v5e VMEM is 128 MiB)
         **(
             {
                 "compiler_params": pltpu.CompilerParams(
-                    vmem_limit_bytes=24 * 1024 * 1024
+                    vmem_limit_bytes=32 * 1024 * 1024
                 )
             }
-            if _BLOCK > 512 and not interpret
+            if not interpret
             else {}
         ),
     )(
