@@ -88,7 +88,12 @@ def main():
     ap.add_argument("--model", default="ViT-B/32")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--random-weights", action="store_true")
-    ap.add_argument("--batch-size", type=int, default=256)
+    # 32 is the measured single-chip sweet spot for the ViT towers: per-layer
+    # activations stay cache-resident, 129.5 TFLOP/s bf16 on ViT-B/16 vs
+    # 97.5 at 256 (tools/bench_vit.py, BASELINE.md round 3); larger batches
+    # only help if H2D latency dominates, and the pipeline already hides it
+    # with the lag-2 in-flight window.
+    ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--prec", default="fp32", choices=["fp32", "bf16"],
                     help="bf16 inference roughly doubles MXU throughput")
     ap.add_argument("--key", default="clip_vit_b32_feature")
