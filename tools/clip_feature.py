@@ -9,7 +9,7 @@ next batch; per-slide features are written to ``.h5`` under the same key
 
 Usage:
     python tools/clip_feature.py --src PATCH_ROOT --dst FEATURE_DIR \
-        --checkpoint ViT-B-32.pt [--model ViT-B/32] [--batch-size 256]
+        --checkpoint ViT-B-32.pt [--model ViT-B/32] [--batch-size 32]
 
 ``--random-weights`` runs without a checkpoint (throughput testing).
 """
