@@ -244,15 +244,29 @@ def _flash_core_fwd(cfg, q, k, v, mask_f):
 
 
 def _flash_core_bwd(cfg, res, do):
+    q, k, v, mask_f, out, lse = res
+    do = do.astype(jnp.float32)
+    delta = jnp.sum(do * out, axis=-1, keepdims=True)  # [B, H, Nq, 1]
+    dq, dk, dv = _bwd_impl(cfg, q, k, v, mask_f, do, lse, delta)
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        jnp.zeros_like(mask_f),  # bias rows carry no useful gradient
+    )
+
+
+def _bwd_impl(cfg, q, k, v, mask_f, do, lse, delta):
+    """The two flash backward pallas sweeps, with the row logsumexp and
+    delta = rowsum(dO ⊙ O) supplied by the caller — reused by the ring
+    self-attention backward, where lse/delta are GLOBAL over the ring while
+    (k, v) are one rotating chunk. Returns fp32 (dq, dk, dv)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     block_q, block_k, precision = cfg
-    q, k, v, mask_f, out, lse = res
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    do = do.astype(jnp.float32)
-    delta = jnp.sum(do * out, axis=-1, keepdims=True)  # [B, H, Nq, 1]
 
     q_spec = lambda order: pl.BlockSpec(
         (1, 1, block_q, d),
@@ -316,12 +330,7 @@ def _flash_core_bwd(cfg, res, do):
         ),
     )(q, k, v, mask_f, do, lse, delta)
 
-    return (
-        dq.astype(q.dtype),
-        dk.astype(k.dtype),
-        dv.astype(v.dtype),
-        jnp.zeros_like(mask_f),  # bias rows carry no useful gradient
-    )
+    return dq, dk, dv
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -385,3 +394,127 @@ def flash_attention(
     cfg = (block_q, block_k, mxu_precision)
     out = _flash_core(cfg, q, k, v, mask_f)
     return out[:, :, :nq].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# partial (chunk) attention — building blocks for ring self-attention
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(t, pad, axis=2):
+    if not pad:
+        return t
+    widths = [(0, 0)] * t.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(t, widths)
+
+
+def flash_attention_partial(
+    q: jnp.ndarray,  # [B, H, Nq, D] PRE-SCALED queries
+    k: jnp.ndarray,  # [B, H, Nk, D] one key chunk
+    v: jnp.ndarray,  # [B, H, Nk, D]
+    mask: Optional[jnp.ndarray] = None,  # [B, Nk] bool, True = attend
+    block_q: int = 512,
+    block_k: int = 1024,
+    mxu_precision: str = "fp32",
+):
+    """Attention of ``q`` against ONE key chunk, softmax-normalized within
+    the chunk, returning ``(out fp32, lse fp32 [B, H, Nq])`` so partial
+    outputs merge exactly by logsumexp (ring self-attention,
+    :func:`imp_tpu.parallel.sequence.ring_self_attention`).  NOT
+    differentiable — the ring wraps fwd+bwd in one ``custom_vjp``.
+
+    Masked chunks follow the flash kernel's additive −1e30 bias contract:
+    a row with no valid key in this chunk returns lse ≈ −1e30, whose merge
+    weight underflows to exactly 0 against any chunk holding a valid key."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if mask is None:
+        mask = jnp.ones((b, nk), dtype=bool)
+
+    if jax.default_backend() != "tpu":
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        s = s + jnp.where(mask, 0.0, NEG_INF)[:, None, None, :]
+        lse = jax.scipy.special.logsumexp(s, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", jnp.exp(s - lse[..., None]), v,
+            preferred_element_type=jnp.float32,
+        )
+        return out, lse
+
+    block_q = min(block_q, -(-nq // 8) * 8)  # keep sublane (8) alignment
+    block_k = min(block_k, -(-nk // 128) * 128)  # keep lane (128) alignment
+    pad_q, pad_k = (-nq) % block_q, (-nk) % block_k
+    q = _pad_rows(q, pad_q)
+    k, v = _pad_rows(k, pad_k), _pad_rows(v, pad_k)
+    mask = jnp.pad(mask, ((0, 0), (0, pad_k)), constant_values=False)
+    mask_f = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    if mxu_precision == "bf16":
+        q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    out, lse = _fwd_impl((block_q, block_k, mxu_precision), q, k, v, mask_f)
+    return out[:, :, :nq], lse[:, :, :nq, 0]
+
+
+def flash_attention_partial_bwd(
+    q: jnp.ndarray,  # [B, H, Nq, D] PRE-SCALED queries
+    k: jnp.ndarray,  # [B, H, Nk, D] one key chunk
+    v: jnp.ndarray,  # [B, H, Nk, D]
+    mask: Optional[jnp.ndarray],  # [B, Nk] bool
+    do: jnp.ndarray,  # [B, H, Nq, D] fp32 output cotangent
+    lse: jnp.ndarray,  # [B, H, Nq] GLOBAL row logsumexp (post-merge)
+    delta: jnp.ndarray,  # [B, H, Nq] GLOBAL rowsum(dO ⊙ O)
+    block_q: int = 512,
+    block_k: int = 1024,
+    mxu_precision: str = "fp32",
+):
+    """This chunk's share of the flash backward, with the global softmax
+    statistics supplied: p = exp(s − lse) is the TRUE global attention
+    probability restricted to these columns, so the standard dq/dk/dv
+    formulas apply per chunk and sum to the exact gradient over the ring.
+    Returns fp32 ``(dq_contrib, dk, dv)``."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if mask is None:
+        mask = jnp.ones((b, nk), dtype=bool)
+
+    if jax.default_backend() != "tpu":
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        s = s + jnp.where(mask, 0.0, NEG_INF)[:, None, None, :]
+        p = jnp.exp(s - lse[..., None])
+        dv = jnp.einsum(
+            "bhqk,bhqd->bhkd", p, do, preferred_element_type=jnp.float32
+        )
+        dp = jnp.einsum(
+            "bhqd,bhkd->bhqk", do, v, preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[..., None])
+        dq = jnp.einsum(
+            "bhqk,bhkd->bhqd", ds, k, preferred_element_type=jnp.float32
+        )
+        dk = jnp.einsum(
+            "bhqk,bhqd->bhkd", ds, q, preferred_element_type=jnp.float32
+        )
+        return dq, dk, dv
+
+    block_q = min(block_q, -(-nq // 8) * 8)  # keep sublane (8) alignment
+    block_k = min(block_k, -(-nk // 128) * 128)  # keep lane (128) alignment
+    pad_q, pad_k = (-nq) % block_q, (-nk) % block_k
+    # padded q rows: q/do/delta pad with zeros ⇒ dv share = pᵀ·0 = 0 and
+    # ds = p·(0 − 0) = 0 regardless of the lse pad value, so dk/dv stay
+    # exact; the garbage dq rows are sliced off below
+    q, do = _pad_rows(q, pad_q), _pad_rows(do.astype(jnp.float32), pad_q)
+    lse = _pad_rows(lse[..., None], pad_q)
+    delta = _pad_rows(delta[..., None], pad_q)
+    k, v = _pad_rows(k, pad_k), _pad_rows(v, pad_k)
+    mask = jnp.pad(mask, ((0, 0), (0, pad_k)), constant_values=False)
+    mask_f = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    if mxu_precision == "bf16":
+        q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    dq, dk, dv = _bwd_impl(
+        (block_q, block_k, mxu_precision), q, k, v, mask_f, do, lse, delta
+    )
+    return dq[:, :, :nq], dk[:, :, :nk], dv[:, :, :nk]

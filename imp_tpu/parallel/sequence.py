@@ -347,7 +347,8 @@ def self_attention_tokens_sp(
     the full keys — 1/sp of the O(N²) work per device. Differentiable:
     the flash core has a custom_vjp and the gather transposes to a
     reduce-scatter. The building block for TransLayer-style models
-    (TransMIL) on 100k-patch bags."""
+    (TransMIL) on 100k-patch bags. For bags too large to replicate K/V on
+    one device, use the O(N/sp)-memory :func:`ring_self_attention`."""
     from ..ops.flash_attention import flash_attention
 
     k = lax.all_gather(k_local, axis_name, axis=2, tiled=True)
@@ -358,6 +359,135 @@ def self_attention_tokens_sp(
         else None
     )
     return flash_attention(q_local, k, v, mask=mask, **flash_kwargs)
+
+
+def ring_self_attention(
+    q_local: jnp.ndarray,  # [B, H, N/sp, D] query shard
+    k_local: jnp.ndarray,  # [B, H, N/sp, D] key shard
+    v_local: jnp.ndarray,  # [B, H, N/sp, D] value shard
+    valid_local: Optional[jnp.ndarray] = None,  # [B, N/sp]
+    scale: Optional[float] = None,
+    axis_name: str = "seq",
+    block_q: int = 512,
+    block_k: int = 1024,
+    mxu_precision: str = "fp32",
+) -> jnp.ndarray:
+    """Exact self-attention over a sequence-sharded bag with **O(N/sp)
+    per-device memory** — the ring twin of
+    :func:`self_attention_tokens_sp`, for bags too large to replicate
+    (>100k-patch / 1M-token slides).
+
+    K/V/mask chunks rotate around the ring via ``ppermute`` while each
+    device folds them into its queries' running online softmax
+    (flash-style partial outputs merged exactly by logsumexp); nothing of
+    size N ever materializes on one device, and each hop overlaps the ICI
+    transfer with the chunk's attention compute.  Differentiable via a
+    ``custom_vjp`` that re-runs the ring (recompute-not-store, like the
+    flash kernel's two-sweep backward): dK/dV accumulators travel WITH
+    their chunks and arrive home after the sp-step cycle.  Per-chunk math
+    runs on the same Pallas kernels as :func:`...flash_attention` on TPU
+    (dense XLA fallback elsewhere)."""
+    d = q_local.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    if valid_local is None:
+        valid_local = jnp.ones(q_local.shape[:1] + q_local.shape[2:3], bool)
+    # rotate the mask as f32 (ppermute on bool is backend-dependent)
+    mask_f = valid_local.astype(jnp.float32)
+    cfg = (int(block_q), int(block_k), str(mxu_precision))
+    out = _ring_attn(axis_name, cfg, q_local * scale, k_local, v_local, mask_f)
+    return out.astype(q_local.dtype)
+
+
+def _ring_attn_fwd_loop(axis_name, cfg, q, k0, v0, m0):
+    from ..ops.flash_attention import flash_attention_partial
+
+    sp = lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+    bq, bk, prec = cfg
+
+    def step(t, carry):
+        k_c, v_c, m_c, o, lse = carry
+        o_t, lse_t = flash_attention_partial(
+            q, k_c, v_c, m_c > 0.5,
+            block_q=bq, block_k=bk, mxu_precision=prec,
+        )
+        # exact merge of partial softmaxes: lse_t is always finite (the
+        # kernel's additive −1e30 bias), so only the −inf INIT hits the
+        # w_old = exp(−inf − finite) = 0 branch — never NaN
+        lse_new = jnp.logaddexp(lse, lse_t)
+        o = (
+            o * jnp.exp(lse - lse_new)[..., None]
+            + o_t * jnp.exp(lse_t - lse_new)[..., None]
+        )
+        return (
+            lax.ppermute(k_c, axis_name, perm),
+            lax.ppermute(v_c, axis_name, perm),
+            lax.ppermute(m_c, axis_name, perm),
+            o,
+            lse_new,
+        )
+
+    o0 = jnp.zeros(q.shape, jnp.float32) + 0.0 * q.astype(jnp.float32)
+    lse0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32) + 0.0 * o0[..., 0]
+    # sp rotations = identity: chunks end the loop back at their owners
+    _, _, _, out, lse = lax.fori_loop(0, sp, step, (k0, v0, m0, o0, lse0))
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ring_attn(axis_name: str, cfg, q, k0, v0, m0):
+    out, _ = _ring_attn_fwd_loop(axis_name, cfg, q, k0, v0, m0)
+    return out
+
+
+def _ring_attn_fwd(axis_name, cfg, q, k0, v0, m0):
+    out, lse = _ring_attn_fwd_loop(axis_name, cfg, q, k0, v0, m0)
+    return out, (q, k0, v0, m0, out, lse)
+
+
+def _ring_attn_bwd(axis_name, cfg, res, do):
+    from ..ops.flash_attention import flash_attention_partial_bwd
+
+    q, k0, v0, m0, out, lse = res
+    do = do.astype(jnp.float32)
+    delta = jnp.sum(do * out, axis=-1)  # [B, H, N/sp] — global, rows local
+    sp = lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+    bq, bk, prec = cfg
+
+    def step(t, carry):
+        k_c, v_c, m_c, dk_c, dv_c, dq = carry
+        dq_t, dk_t, dv_t = flash_attention_partial_bwd(
+            q, k_c, v_c, m_c > 0.5, do, lse, delta,
+            block_q=bq, block_k=bk, mxu_precision=prec,
+        )
+        # dk/dv accumulators rotate WITH their chunk: initialized at the
+        # owner, they visit every device's query rows once and are home
+        # after the sp-step cycle
+        return (
+            lax.ppermute(k_c, axis_name, perm),
+            lax.ppermute(v_c, axis_name, perm),
+            lax.ppermute(m_c, axis_name, perm),
+            lax.ppermute(dk_c + dk_t, axis_name, perm),
+            lax.ppermute(dv_c + dv_t, axis_name, perm),
+            dq + dq_t,
+        )
+
+    z = jnp.zeros(k0.shape, jnp.float32) + 0.0 * k0.astype(jnp.float32)
+    dqz = jnp.zeros(q.shape, jnp.float32) + 0.0 * q.astype(jnp.float32)
+    _, _, _, dk, dv, dq = lax.fori_loop(
+        0, sp, step, (k0, v0, m0, z, z, dqz)
+    )
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k0.dtype),
+        dv.astype(v0.dtype),
+        jnp.zeros_like(m0),  # the mask carries no useful gradient
+    )
+
+
+_ring_attn.defvjp(_ring_attn_fwd, _ring_attn_bwd)
 
 
 def cross_attention_tokens_sp(

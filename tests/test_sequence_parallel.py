@@ -280,6 +280,108 @@ def test_transmil_sequence_parallel_end_to_end(tmp_path):
         set_default_attention_impl("nystrom")  # process-global default back
 
 
+def test_ring_self_attention_matches_single_device(mesh):
+    """Ring self-attention (O(N/sp) memory, ppermute K/V rotation): value
+    and q/k/v gradients equal the single-device exact attention — incl. a
+    sample whose valid length leaves later ring chunks fully masked (the
+    −1e30 partial-lse merge path)."""
+    from imp_tpu.parallel.sequence import ring_self_attention
+    from imp_tpu.ops.flash_attention import flash_attention
+
+    b, h, n, d = 2, 4, 512, 32
+    rng = np.random.default_rng(17)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    # sample 0: only 100 of 512 tokens valid -> shards 2-4 (nl=128) are
+    # fully masked chunks for it
+    valid = jnp.asarray(np.arange(n)[None, :] < np.array([[100], [512]]))
+
+    def single(q, k, v):
+        out = flash_attention(q, k, v, mask=valid)
+        return jnp.sum(out * jnp.cos(out))
+
+    def ring(q, k, v):
+        fn = jax.shard_map(
+            lambda q, k, v, m: ring_self_attention(
+                q, k, v, m, axis_name="seq"
+            ),
+            mesh=mesh,
+            in_specs=(P(None, None, "seq", None),) * 3 + (P(None, "seq"),),
+            out_specs=P(None, None, "seq", None),
+        )
+        out = fn(q, k, v, valid)
+        return jnp.sum(out * jnp.cos(out))
+
+    want = float(jax.jit(single)(q, k, v))
+    got = float(jax.jit(ring)(q, k, v))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    g_want = jax.jit(jax.grad(single, argnums=(0, 1, 2)))(q, k, v)
+    g_got = jax.jit(jax.grad(ring, argnums=(0, 1, 2)))(q, k, v)
+    for gw, gg in zip(g_want, g_got):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_flash_partial_merge_matches_full():
+    """flash_attention_partial chunks merged by logsumexp == one-shot
+    attention, and partial_bwd with global (lse, delta) sums to the exact
+    gradient — the single-process contract the ring builds on."""
+    from imp_tpu.ops.flash_attention import (
+        flash_attention,
+        flash_attention_partial,
+        flash_attention_partial_bwd,
+    )
+
+    b, h, n, d, nc = 2, 2, 256, 16, 4
+    rng = np.random.default_rng(23)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32) * d**-0.5
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    valid = jnp.asarray(np.arange(n)[None, :] < np.array([[70], [256]]))
+
+    outs, lses = zip(*(
+        flash_attention_partial(
+            q, k[:, :, i::nc], v[:, :, i::nc], valid[:, i::nc]
+        )
+        for i in range(nc)
+    ))
+    lse = jnp.asarray(lses)  # [nc, B, H, N]
+    lse_all = jax.scipy.special.logsumexp(lse, axis=0)
+    out = sum(
+        o * jnp.exp(l - lse_all)[..., None] for o, l in zip(outs, lse)
+    )
+    want = flash_attention(q, k, v, mask=valid, scale=1.0)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+    def f(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, mask=valid, scale=1.0)))
+
+    gq_w, gk_w, gv_w = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    do = jnp.cos(want)
+    delta = jnp.sum(do * out, axis=-1)
+    parts = [
+        flash_attention_partial_bwd(
+            q, k[:, :, i::nc], v[:, :, i::nc], valid[:, i::nc],
+            do, lse_all, delta,
+        )
+        for i in range(nc)
+    ]
+    gq = sum(p[0] for p in parts)
+    gk = jnp.zeros_like(gk_w).at[:, :, 0::nc].set(parts[0][1])
+    gv = jnp.zeros_like(gv_w).at[:, :, 0::nc].set(parts[0][2])
+    for i in range(1, nc):
+        gk = gk.at[:, :, i::nc].set(parts[i][1])
+        gv = gv.at[:, :, i::nc].set(parts[i][2])
+    for got_g, want_g in ((gq, gq_w), (gk, gk_w), (gv, gv_w)):
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(want_g), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_sp_self_attention_matches_dense(mesh):
     """Sequence-sharded exact self-attention (all-gather-KV over the flash
     kernel; dense fallback on CPU) — value and gradient vs single-device."""
