@@ -240,6 +240,10 @@ def get_cfg_default() -> CN:
     _C.TPU.PROFILE_DIR = ""  # jax.profiler trace dir ("" = off)
     _C.TPU.DEBUG_NANS = False  # jax.config debug_nans (ref detect_anomaly parity)
     _C.TPU.PREFETCH = 2  # device-prefetch depth of the input pipeline
+    # "msgpack" (flax, reference-like single files) | "orbax" (tensorstore
+    # directories; collective sharded writes on multi-host pods). Readers
+    # auto-detect per checkpoint, so the knob only affects writes.
+    _C.TPU.CHECKPOINT_BACKEND = "msgpack"
 
     return _C
 

@@ -392,10 +392,12 @@ class TrainerBase:
                     self.epoch + 1,
                     is_best=True,
                     model_name="model-best.ckpt",
+                    backend=self.cfg.TPU.CHECKPOINT_BACKEND,
                 )
         if meet_freq or last_epoch:
             save_checkpoint(
-                self.state_dict(), osp.join(self.output_dir, "model"), self.epoch + 1
+                self.state_dict(), osp.join(self.output_dir, "model"),
+                self.epoch + 1, backend=self.cfg.TPU.CHECKPOINT_BACKEND,
             )
 
     def after_train(self):

@@ -3,8 +3,15 @@
 OUTPUT_DIR containing ``model.ckpt-<epoch>`` files, a ``checkpoint`` pointer
 text file naming the latest, and ``model-best.ckpt`` when val improves.
 
-Serialization is flax msgpack over the full train-state pytree (params +
-all optimizer states + epoch + val_result).
+Serialization: flax msgpack over the full train-state pytree (params + all
+optimizer states + epoch + val_result) by default, or **orbax**
+(``TPU.CHECKPOINT_BACKEND=orbax``) — each ``model.ckpt-<epoch>`` becomes an
+orbax directory (tensorstore-chunked, collective sharded writes on pods:
+every process writes its own array shards instead of the primary
+serializing a replicated copy).  The pointer/best/resume contract is
+backend-independent, and readers auto-detect the format per checkpoint
+(directory = orbax, file = msgpack), so mixed-backend output dirs resume
+fine.
 """
 
 from __future__ import annotations
@@ -17,23 +24,64 @@ from flax import serialization
 from .logger import mkdir_if_missing
 
 
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    # the synchronous Checkpointer: save returns only after the write is
+    # durable (the trainer's pointer-file update must not outrun the data)
+    return ocp, ocp.Checkpointer(ocp.StandardCheckpointHandler())
+
+
+def _orbax_save(path: str, state: Any) -> None:
+    ocp, ck = _orbax_checkpointer()
+    try:
+        ck.save(osp.abspath(path), args=ocp.args.StandardSave(state),
+                force=True)
+    finally:
+        ck.close()
+
+
+def _orbax_restore(path: str, target: Any = None) -> Any:
+    ocp, ck = _orbax_checkpointer()
+    try:
+        if target is None:
+            return ck.restore(osp.abspath(path))
+        return ck.restore(
+            osp.abspath(path), args=ocp.args.StandardRestore(target)
+        )
+    finally:
+        ck.close()
+
+
 def save_checkpoint(
     state: Any,
     directory: str,
     epoch: int,
     is_best: bool = False,
     model_name: str = "",
+    backend: str = "msgpack",
 ) -> str:
     mkdir_if_missing(directory)
     if not model_name:
         model_name = f"model.ckpt-{epoch}"
     fpath = osp.join(directory, model_name)
-    # multi-host pods: the train state is replicated, so only the primary
-    # process writes (everyone racing on a shared FS corrupts the pointer);
-    # all processes then sync so nobody reads a half-written file
     import jax
 
-    if jax.process_index() == 0 or jax.process_count() == 1:
+    if backend == "orbax":
+        # orbax saves are COLLECTIVE: every process participates (each
+        # writes its own shards) — no primary-only gating
+        _orbax_save(fpath, state)
+        if is_best and osp.basename(fpath) != "model-best.ckpt":
+            _orbax_save(osp.join(directory, "model-best.ckpt"), state)
+        if jax.process_index() == 0 or jax.process_count() == 1:
+            with open(osp.join(directory, "checkpoint"), "w") as f:
+                f.write(osp.basename(fpath))
+            print(f'Checkpoint saved to "{fpath}" (orbax)')
+    elif jax.process_index() == 0 or jax.process_count() == 1:
+        # msgpack: the train state is replicated, so only the primary
+        # process writes (everyone racing on a shared FS corrupts the
+        # pointer); all processes then sync so nobody reads a half-written
+        # file
         with open(fpath, "wb") as f:
             f.write(serialization.to_bytes(state))
         with open(osp.join(directory, "checkpoint"), "w") as f:
@@ -51,9 +99,13 @@ def save_checkpoint(
 
 
 def load_checkpoint(fpath: str, target: Any) -> Any:
-    """Restore into the structure of ``target`` (a template pytree)."""
+    """Restore into the structure of ``target`` (a template pytree).
+    Backend auto-detected: an orbax checkpoint is a directory, a flax
+    msgpack checkpoint is a file."""
     if not osp.exists(fpath):
         raise FileNotFoundError(f'File is not found at "{fpath}"')
+    if osp.isdir(fpath):
+        return _orbax_restore(fpath, target)
     with open(fpath, "rb") as f:
         return serialization.from_bytes(target, f.read())
 
@@ -87,16 +139,19 @@ def load_pretrained_params(fpath: str, params_template):
     pointer."""
     import os.path as _osp
 
-    if _osp.isdir(fpath):
+    if _osp.isdir(fpath) and _osp.exists(_osp.join(fpath, "checkpoint")):
         with open(_osp.join(fpath, "checkpoint")) as f:
             fpath = _osp.join(fpath, f.read().strip())
-    from flax import serialization
+    if _osp.isdir(fpath):  # orbax checkpoint directory
+        state = _orbax_restore(fpath)
+    else:
+        from flax import serialization
 
-    with open(fpath, "rb") as f:
-        raw = f.read()
+        with open(fpath, "rb") as f:
+            raw = f.read()
+        state = serialization.msgpack_restore(raw)
     # try common layouts: {'state': {...,'params':...}} (MBTRAIN) or
     # {'params': ...} (StandardTrainer)
-    state = serialization.msgpack_restore(raw)
     node = state
     if "state" in node:
         node = node["state"]
