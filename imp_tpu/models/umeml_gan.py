@@ -58,6 +58,16 @@ from .layers import (
 )
 
 
+# Run the head's two bottleneck passes (plain ref :514 and importance-
+# scaled ref :649-678) as ONE batched call over 2B rows. The importance
+# weights depend only on (h_path, h_omic), never on the first pass, and
+# batch is a parallel dim through pairing/TransLayers/fusion/classifier,
+# so per-row numerics are unchanged; the head is dispatch-bound at these
+# token counts (B=2, ~17 tokens) and this halves its op count.
+# False restores two sequential passes (rescue / A-B knob).
+HEAD_FUSED = True
+
+
 def _bce_with_logits_vs_ones(z: jnp.ndarray) -> jnp.ndarray:
     """BCEWithLogits(z, 1) = softplus(-z).  The reference applies this to the
     discriminator's *sigmoid output* (``adversarial_loss``, ref ``:371-372``)
@@ -288,10 +298,9 @@ class UMEML_GAN(nn.Module):
         det = not train
         b, n_tokens, _ = h_path.shape
 
-        t_path, _, t_omic, _ = self.bottleattn(h_path, h_omic, deterministic=det)
-        logits1 = self.classifier(self._fuse(t_path, t_omic, det))
-
-        # per-prototype explainer + self-distillation (ref :554-598)
+        # per-prototype explainer + self-distillation (ref :554-598).
+        # Computed FIRST so that (when HEAD_FUSED) both bottleneck passes
+        # can run as one batched call — see the flag comment at the top.
         logits_path_proto = self.explainer_path(h_path)  # [B, P, C]
         logits_omic_proto = self.explainer_omic(h_omic)
         logits_path = logits_path_proto.mean(axis=1)
@@ -306,19 +315,31 @@ class UMEML_GAN(nn.Module):
         )[..., 0]
         imp_path_disp = transform_importance(imp_path)[:, : n_tokens - 1]
         imp_omic_disp = transform_importance(imp_omic)[:, : n_tokens - 1]
-        loss_kd = kd_loss_fn(logits_explained, logits1, T=T)
 
-        # importance-scaled second pass (ref :649-678)
         w_path = transform_importance_to_half_one_point_five(
             jax.lax.stop_gradient(imp_path)
         )[..., None]
         w_omic = transform_importance_to_half_one_point_five(
             jax.lax.stop_gradient(imp_omic)
         )[..., None]
-        t_path2, _, t_omic2, _ = self.bottleattn(
-            h_path * w_path, h_omic * w_omic, deterministic=det
-        )
-        logits = self.classifier(self._fuse(t_path2, t_omic2, det))
+        if HEAD_FUSED:
+            hp2 = jnp.concatenate([h_path, h_path * w_path], axis=0)
+            ho2 = jnp.concatenate([h_omic, h_omic * w_omic], axis=0)
+            t_path, _, t_omic, _ = self.bottleattn(hp2, ho2, deterministic=det)
+            logits_both = self.classifier(self._fuse(t_path, t_omic, det))
+            logits1 = logits_both[:b]  # plain first pass (ref :532-543)
+            logits = logits_both[b:]  # importance-scaled final logits
+        else:
+            # two sequential passes, as the reference executes them
+            t_path, _, t_omic, _ = self.bottleattn(
+                h_path, h_omic, deterministic=det
+            )
+            logits1 = self.classifier(self._fuse(t_path, t_omic, det))
+            t_path2, _, t_omic2, _ = self.bottleattn(
+                h_path * w_path, h_omic * w_omic, deterministic=det
+            )
+            logits = self.classifier(self._fuse(t_path2, t_omic2, det))
+        loss_kd = kd_loss_fn(logits_explained, logits1, T=T)
 
         return {
             "logits": logits,
