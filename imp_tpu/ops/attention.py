@@ -106,6 +106,17 @@ def masked_fill_neg(scores: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, scores, neg)
 
 
+# pinv backend: "xla" (default) = the unrolled jnp chain; "pallas" = the
+# fused Newton-Schulz kernel (ops/pinv_kernel.py, one program per matrix
+# instead of ~70 small thunks).  The kernel is parity-validated
+# (tools/bench_pinv.py --check: fwd bit-exact, grad 2e-7) but measured a
+# +1.2 ms/step REGRESSION embedded in the flagship train step
+# (interleaved A/B, BASELINE.md r3) — per-program launch + HIGHEST-
+# precision serialization beats the thunk chain it replaces at m=128.
+# Kept as an opt-in for larger-m / higher-batch regimes.
+PINV_MODE = "xla"
+
+
 def moore_penrose_pinv(x: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     """Iterative Moore-Penrose pseudo-inverse (reference ``ops/utils.py:116-131``).
 
@@ -114,6 +125,20 @@ def moore_penrose_pinv(x: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     """
     in_dtype = x.dtype
     x = x.astype(jnp.float32)  # Newton-Schulz diverges in bf16
+
+    m = x.shape[-1]
+    if (
+        PINV_MODE == "pallas"
+        and x.ndim >= 2
+        and x.shape[-2] == m
+        and m % 128 == 0
+        and m <= 512
+        and jax.default_backend() == "tpu"
+    ):
+        from .pinv_kernel import pinv_newton_schulz
+
+        return pinv_newton_schulz(x, iters).astype(in_dtype)
+
     abs_x = jnp.abs(x)
     col = abs_x.sum(axis=-1)
     row = abs_x.sum(axis=-2)
@@ -319,35 +344,46 @@ class NystromAttention(nn.Module):
 
         # landmarks: m groups of l consecutive tokens, summed then mean'd
         l = n_pad // m
-        q_l = q.reshape(b, h, m, l, self.dim_head).sum(axis=3)
-        k_l = k.reshape(b, h, m, l, self.dim_head).sum(axis=3)
-
-        if mask is not None:
-            mask_l_sum = mask.reshape(b, 1, m, l).sum(axis=3)  # [B,1,m]
-            divisor = mask_l_sum[..., None] + eps
-            mask_l = mask_l_sum > 0
+        if l == 1 and mask is None:
+            # Short-sequence fast path (the UMEML head: n<=17 tokens front-
+            # padded to m=128, so every landmark group is a single token and
+            # the divisor is exactly 1.0): q_l == q and k_l == k bit-for-bit,
+            # hence the reference's three similarity matrices
+            # (attention.py:118-124 in the reference) are one and the same
+            # matrix. Compute ONE sim + ONE softmax and reuse — identical
+            # arithmetic, one third of the score-stage kernels.
+            sim1 = jnp.einsum("bhid,bhjd->bhij", q, k)
+            attn1 = attn2 = attn3 = jax.nn.softmax(sim1, axis=-1)
         else:
-            divisor = float(l)
-            mask_l = None
-        q_l = q_l / divisor
-        k_l = k_l / divisor
+            q_l = q.reshape(b, h, m, l, self.dim_head).sum(axis=3)
+            k_l = k.reshape(b, h, m, l, self.dim_head).sum(axis=3)
 
-        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)
-        sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)
-        sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)
+            if mask is not None:
+                mask_l_sum = mask.reshape(b, 1, m, l).sum(axis=3)  # [B,1,m]
+                divisor = mask_l_sum[..., None] + eps
+                mask_l = mask_l_sum > 0
+            else:
+                divisor = float(l)
+                mask_l = None
+            q_l = q_l / divisor
+            k_l = k_l / divisor
 
-        if mask is not None:
-            sim1 = masked_fill_neg(
-                sim1, mask[:, None, :, None] & mask_l[..., None, :]
-            )
-            sim2 = masked_fill_neg(sim2, mask_l[..., None] & mask_l[..., None, :])
-            sim3 = masked_fill_neg(
-                sim3, mask_l[..., None] & mask[:, None, None, :]
-            )
+            sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)
+            sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)
+            sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)
 
-        attn1 = jax.nn.softmax(sim1, axis=-1)
-        attn2 = jax.nn.softmax(sim2, axis=-1)
-        attn3 = jax.nn.softmax(sim3, axis=-1)
+            if mask is not None:
+                sim1 = masked_fill_neg(
+                    sim1, mask[:, None, :, None] & mask_l[..., None, :]
+                )
+                sim2 = masked_fill_neg(sim2, mask_l[..., None] & mask_l[..., None, :])
+                sim3 = masked_fill_neg(
+                    sim3, mask_l[..., None] & mask[:, None, None, :]
+                )
+
+            attn1 = jax.nn.softmax(sim1, axis=-1)
+            attn2 = jax.nn.softmax(sim2, axis=-1)
+            attn3 = jax.nn.softmax(sim3, axis=-1)
         attn2_inv = moore_penrose_pinv(attn2, iters)
 
         out = (attn1 @ attn2_inv) @ (attn3 @ v)

@@ -32,6 +32,28 @@ def test_moore_penrose_pinv_inverts_well_conditioned():
     assert jnp.max(jnp.abs(ident - eye)) < 1e-3
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="fused pallas pinv runs on TPU only (validated on hardware by "
+    "tools/bench_pinv.py --check; results in BASELINE.md)",
+)
+def test_pinv_pallas_matches_xla():
+    from imp_tpu.ops import attention as att
+    from imp_tpu.ops.pinv_kernel import pinv_newton_schulz
+
+    a = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(0), (2, 4, 128, 128)), axis=-1
+    )
+    old = att.PINV_MODE
+    att.PINV_MODE = "xla"
+    try:
+        zx = att.moore_penrose_pinv(a, 6)
+    finally:
+        att.PINV_MODE = old
+    zp = pinv_newton_schulz(a, 6)
+    np.testing.assert_allclose(np.asarray(zp), np.asarray(zx), rtol=2e-4, atol=2e-4)
+
+
 def test_nystrom_attention_mask_content_invariance():
     """Outputs at valid positions must not depend on the *content* of masked
     (padding) tokens.  (Note: Nyström is not invariant to the padded length
@@ -85,6 +107,48 @@ def test_nystrom_attention_exact_when_landmarks_cover_tokens():
     b_out = params["params"]["to_out"]["bias"]
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(o @ w_out + b_out), rtol=5e-2, atol=5e-3
+    )
+
+
+def test_nystrom_small_n_fast_path_matches_reference_chain():
+    """The l==1 mask-free fast path (one sim + one softmax reused three
+    times) must match a manual replication of the reference's general
+    three-sim chain on a front-padded short sequence — the UMEML head's
+    shape regime (n << num_landmarks)."""
+    from imp_tpu.ops.attention import moore_penrose_pinv as pinv
+
+    rng = np.random.default_rng(11)
+    d, n, m, h, dh = 64, 7, 32, 8, 8
+    x = jnp.asarray(rng.normal(size=(2, n, d)), dtype=jnp.float32)
+    mod = NystromAttention(
+        dim=d, dim_head=dh, heads=h, num_landmarks=m, residual=False
+    )
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(params, x)
+
+    # manual general path: front-pad to m, project, three sims, pinv chain
+    xp = jnp.pad(x, ((0, 0), (m - n, 0), (0, 0)))
+    w_qkv = params["params"]["to_qkv"]["kernel"]
+    q, k, v = jnp.split(xp @ w_qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(2, m, h, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    q = q * (dh**-0.5)
+    # l == 1: landmark reduce is identity (sum over singleton / 1.0)
+    q_l = q.reshape(2, h, m, 1, dh).sum(axis=3) / 1.0
+    k_l = k.reshape(2, h, m, 1, dh).sum(axis=3) / 1.0
+    attn1 = jax.nn.softmax(jnp.einsum("bhid,bhjd->bhij", q, k_l), axis=-1)
+    attn2 = jax.nn.softmax(jnp.einsum("bhid,bhjd->bhij", q_l, k_l), axis=-1)
+    attn3 = jax.nn.softmax(jnp.einsum("bhid,bhjd->bhij", q_l, k), axis=-1)
+    o = (attn1 @ pinv(attn2, 6)) @ (attn3 @ v)
+    o = o.transpose(0, 2, 1, 3).reshape(2, m, h * dh)
+    w_out = params["params"]["to_out"]["kernel"]
+    b_out = params["params"]["to_out"]["bias"]
+    expect = (o @ w_out + b_out)[:, -n:]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), rtol=1e-5, atol=1e-6
     )
 
 

@@ -44,7 +44,7 @@ def main():
         elif args.knob == "pinv":
             from imp_tpu.ops import attention as att
 
-            att.PINV_MODE = "auto" if arm == "A" else "xla"
+            att.PINV_MODE = "pallas" if arm == "A" else "xla"
 
     print(f"knob={args.knob}  A=on/fused  B=off/xla  backend={jax.default_backend()}")
 
