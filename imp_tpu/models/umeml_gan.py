@@ -67,6 +67,45 @@ from .layers import (
 # False restores two sequential passes (rescue / A-B knob).
 HEAD_FUSED = True
 
+# Param-stack the parallel path/omic twins — the decoder TransLayers
+# (ref umeml_gan.py:300-301), their LayerNorms (ref :302-303), and the
+# per-prototype explainers (ref :313-314) — into single vmapped modules
+# applied to a [2, B, T, D] stack. Each twin pair runs identical
+# architecture on identically-shaped inputs, so every op in the pair
+# becomes ONE op on a doubled leading dim: same FLOPs, half the thunks
+# (the head is dispatch-bound, ~30 us/op — BASELINE.md r3 corollary).
+# Per-slice numerics are exact (vmap is a parallel dim); only the init
+# rng folds differ from the two-module layout. Changes the param tree
+# (pair_decoder/pair_norm/pair_explainer vs the per-twin names), so old
+# checkpoints need the knob off to resume. False restores the reference
+# layout (rescue / A-B knob).
+STACKED_PAIRS = True
+
+# TransLayer twins stacked over a leading axis: params get a leading
+# dim of 2 (independent init draws per slice), dropout rngs split per
+# slice (independent masks, matching two separate modules).
+_StackedTransLayer = nn.vmap(
+    TransLayer,
+    in_axes=(0, None, None),
+    out_axes=0,
+    variable_axes={"params": 0},
+    split_rngs={"params": True, "dropout": True},
+)
+_StackedLayerNorm = nn.vmap(
+    nn.LayerNorm,
+    in_axes=0,
+    out_axes=0,
+    variable_axes={"params": 0},
+    split_rngs={"params": True},
+)
+_StackedLinear = nn.vmap(
+    TorchLinear,
+    in_axes=0,
+    out_axes=0,
+    variable_axes={"params": 0},
+    split_rngs={"params": True},
+)
+
 
 def _bce_with_logits_vs_ones(z: jnp.ndarray) -> jnp.ndarray:
     """BCEWithLogits(z, 1) = softplus(-z).  The reference applies this to the
@@ -125,10 +164,14 @@ class UMEML_GAN(nn.Module):
             for _ in range(2)
         ]
         self.omic_encoder = [Block(dim=hidden) for _ in range(2)]
-        self.layer_norm_p = nn.LayerNorm(epsilon=1e-5)
-        self.layer_norm_o = nn.LayerNorm(epsilon=1e-5)
-        self.path_decoder = TransLayer(dim=hidden)
-        self.omic_decoder = TransLayer(dim=hidden)
+        if STACKED_PAIRS:
+            self.pair_decoder = _StackedTransLayer(dim=hidden)
+            self.pair_norm = _StackedLayerNorm(epsilon=1e-5)
+        else:
+            self.layer_norm_p = nn.LayerNorm(epsilon=1e-5)
+            self.layer_norm_o = nn.LayerNorm(epsilon=1e-5)
+            self.path_decoder = TransLayer(dim=hidden)
+            self.omic_decoder = TransLayer(dim=hidden)
         self.bottleattn = BottleneckAttentionBlock(
             dim=hidden,
             n_reg=self.n_reg,
@@ -156,8 +199,11 @@ class UMEML_GAN(nn.Module):
         else:
             raise ValueError(f"Unknown fusion: {self.fusion}")
         self.classifier = TorchLinear(self.num_classes)
-        self.explainer_path = TorchLinear(self.num_classes, use_bias=False)
-        self.explainer_omic = TorchLinear(self.num_classes, use_bias=False)
+        if STACKED_PAIRS:
+            self.pair_explainer = _StackedLinear(self.num_classes, use_bias=False)
+        else:
+            self.explainer_path = TorchLinear(self.num_classes, use_bias=False)
+            self.explainer_omic = TorchLinear(self.num_classes, use_bias=False)
 
     # ------------------------------------------------------------------ #
     # encoder: bag + omics -> normalized token sequences                  #
@@ -220,10 +266,18 @@ class UMEML_GAN(nn.Module):
         h_path = jnp.concatenate(
             [jnp.tile(self.p_encoder_token, (b, 1, 1)), p_proto], axis=1
         )
-        h_path = self.path_decoder(h_path, deterministic=det)
-        h_omic = self.omic_decoder(h_omic, deterministic=det)
-        h_path = self.layer_norm_p(h_path)
-        h_omic = self.layer_norm_o(h_omic)
+        if STACKED_PAIRS:
+            # both twins are [B, n_proto+1, D]: run decoder + LN as ONE
+            # vmapped call over the [2, B, T, D] stack
+            h2 = jnp.stack([h_path, h_omic])
+            h2 = self.pair_decoder(h2, None, det)
+            h2 = self.pair_norm(h2)
+            h_path, h_omic = h2[0], h2[1]
+        else:
+            h_path = self.path_decoder(h_path, deterministic=det)
+            h_omic = self.omic_decoder(h_omic, deterministic=det)
+            h_path = self.layer_norm_p(h_path)
+            h_omic = self.layer_norm_o(h_omic)
         return {
             "h_path": h_path,
             "h_omic": h_omic,
@@ -301,8 +355,12 @@ class UMEML_GAN(nn.Module):
         # per-prototype explainer + self-distillation (ref :554-598).
         # Computed FIRST so that (when HEAD_FUSED) both bottleneck passes
         # can run as one batched call — see the flag comment at the top.
-        logits_path_proto = self.explainer_path(h_path)  # [B, P, C]
-        logits_omic_proto = self.explainer_omic(h_omic)
+        if STACKED_PAIRS:
+            both = self.pair_explainer(jnp.stack([h_path, h_omic]))
+            logits_path_proto, logits_omic_proto = both[0], both[1]  # [B, P, C]
+        else:
+            logits_path_proto = self.explainer_path(h_path)  # [B, P, C]
+            logits_omic_proto = self.explainer_omic(h_omic)
         logits_path = logits_path_proto.mean(axis=1)
         logits_omic = logits_omic_proto.mean(axis=1)
         logits_explained = (logits_path + logits_omic) / 2.0
@@ -387,18 +445,22 @@ class UMEML_GAN(nn.Module):
                 "h_omic_bag_before": enc["h_omic_bag_before"],
             }
 
+        # one generator pass serves both the progressive replacement and the
+        # missing-omics generation below: the reference calls gen_p2o(h_path)
+        # twice on the SAME h_path (ref :492-497 then :499-511) — identical
+        # computations, computed once here
+        h_omic_gen = self.gan_generator_p2o(h_path)
+
         if train:
             # progressive replacement by generated omics (ref :492-497;
             # note the reference replaces when uniform > ratio)
             rng = self.make_rng("gan")
-            fake_omic = self.gan_generator_p2o(h_path)
             u = jax.random.uniform(rng, (h_omic.shape[0],))
             ratio = jnp.asarray(replace_ratio)
             do_replace = (u > ratio) & (ratio > 0)
-            h_omic = jnp.where(do_replace[:, None, None], fake_omic, h_omic)
+            h_omic = jnp.where(do_replace[:, None, None], h_omic_gen, h_omic)
 
         # generation for missing omics (ref :499-511)
-        h_omic_gen = self.gan_generator_p2o(h_path)
         without = batch.get("without_omic")
         if without is not None:
             h_omic = jnp.where(

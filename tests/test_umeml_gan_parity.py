@@ -183,10 +183,33 @@ def torch_to_flax(model) -> dict:
             "norm1": _layernorm(sd, f"proto_g_blocks.{i}.norm1"),
         }
         p[f"omic_encoder_{i}"] = {"attn": _translayer(sd, f"omic_encoder.{i}.attn")}
-    p["path_decoder"] = _translayer(sd, "path_decoder")
-    p["omic_decoder"] = _translayer(sd, "omic_decoder")
-    p["layer_norm_p"] = _layernorm(sd, "layer_norm_p")
-    p["layer_norm_o"] = _layernorm(sd, "layer_norm_o")
+    import importlib
+
+    ug = importlib.import_module("imp_tpu.models.umeml_gan")
+    if ug.STACKED_PAIRS:
+        # the twin decoders/LNs/explainers live as ONE param-stacked module
+        # (umeml_gan.STACKED_PAIRS) — stack the torch twins on a leading axis
+        import numpy as _np
+        from jax.tree_util import tree_map as jax_tree_map
+
+        def _stack(a, b):
+            return jax_tree_map(lambda x, y: _np.stack([x, y]), a, b)
+
+        p["pair_decoder"] = _stack(
+            _translayer(sd, "path_decoder"), _translayer(sd, "omic_decoder")
+        )
+        p["pair_norm"] = _stack(
+            _layernorm(sd, "layer_norm_p"), _layernorm(sd, "layer_norm_o")
+        )
+        p["pair_explainer"] = _stack(
+            {"kernel": _t(sd["explainer_path.weight"]).T},
+            {"kernel": _t(sd["explainer_omic.weight"]).T},
+        )
+    else:
+        p["path_decoder"] = _translayer(sd, "path_decoder")
+        p["omic_decoder"] = _translayer(sd, "omic_decoder")
+        p["layer_norm_p"] = _layernorm(sd, "layer_norm_p")
+        p["layer_norm_o"] = _layernorm(sd, "layer_norm_o")
     p["bottleattn"] = {
         "bottle_tokens": _t(sd["bottleattn.bottle_tokens"]),
         "linear_p": _linear(sd, "bottleattn.linear_p"),
@@ -202,8 +225,9 @@ def torch_to_flax(model) -> dict:
     p["mm_fc1"] = _linear(sd, "mm.0")
     p["mm_fc2"] = _linear(sd, "mm.2")
     p["classifier"] = _linear(sd, "classifier")
-    p["explainer_path"] = {"kernel": _t(sd["explainer_path.weight"]).T}
-    p["explainer_omic"] = {"kernel": _t(sd["explainer_omic.weight"]).T}
+    if not ug.STACKED_PAIRS:
+        p["explainer_path"] = {"kernel": _t(sd["explainer_path.weight"]).T}
+        p["explainer_omic"] = {"kernel": _t(sd["explainer_omic.weight"]).T}
     for gan in ("gan_generator_p2o", "gan_generator_o2p"):
         p[gan] = {"fc1": _linear(sd, gan + ".net.0"), "fc2": _linear(sd, gan + ".net.2")}
     for dis in ("gan_discriminator_p", "gan_discriminator_o"):

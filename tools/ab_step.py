@@ -26,7 +26,7 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--knob", default="head_fused",
-                    choices=["head_fused", "pinv", "none"])
+                    choices=["head_fused", "pinv", "stacked", "none"])
     ap.add_argument("--slots", type=int, default=4, help="timed slots PER ARM")
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--batch-size", type=int, default=2)
@@ -45,6 +45,11 @@ def main():
             from imp_tpu.ops import attention as att
 
             att.PINV_MODE = "pallas" if arm == "A" else "xla"
+        elif args.knob == "stacked":
+            import importlib
+
+            ug = importlib.import_module("imp_tpu.models.umeml_gan")
+            ug.STACKED_PAIRS = arm == "A"
 
     print(f"knob={args.knob}  A=on/fused  B=off/xla  backend={jax.default_backend()}")
 
