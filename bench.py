@@ -212,13 +212,16 @@ def main():
     # of the train step — the trainer hoists them per-epoch (mbtrain.run_epoch)
     # and so does the bench: keys pre-split on device, replace_ratio uploaded
     # once.
-    # protocol: 8 burn-in steps, then 3 timed windows of 15; report the
+    # protocol: 8 burn-in steps, then 5 timed windows of 15; report the
     # BEST window. The first timed window in a process reads slow even
     # after burn-in (executable upload / cold start through the tunnel,
     # BASELINE.md measurement notes), and host-side hiccups on this 1-core
     # machine only ever ADD time — max-of-windows estimates the device
-    # rate, min-of-windows the interference.
-    windows, iters = 3, 15
+    # rate, min-of-windows the interference. 5 windows (was 3) because
+    # the measured inter-window spread within one process is ~±4%: more
+    # windows tighten the best-window estimate of the true device rate
+    # at a cost of ~2 s.
+    windows, iters = 5, 15
     keys = list(
         jax.random.split(jax.random.PRNGKey(1), windows * iters + 8)
     )

@@ -301,3 +301,74 @@ def test_umeml_gan_eval_forward_parity(ref_env):
     got_logits = np.asarray(out["logits"])
 
     np.testing.assert_allclose(got_logits, ref_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_stacked_pairs_matches_twin_modules():
+    """STACKED_PAIRS grafts the twin decoder/LN/explainer params onto a
+    leading stack axis; vmap is a parallel dim, so eval outputs must match
+    the twin-module layout up to float reassociation (the pinv of the
+    front-padded landmark matrix amplifies reassociation jitter — see
+    BASELINE.md r3 'param-stacked twins' note)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    from jax.tree_util import tree_map
+
+    ug = importlib.import_module("imp_tpu.models.umeml_gan")
+    groups = tuple(tuple(range(i * 5, i * 5 + 5)) for i in range(6))
+    B, N, G, D = 1, 32, 30, 16
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    batch = {
+        "img": jax.random.normal(k1, (B, N, 512)),
+        "img_mask": jnp.ones((B, N)),
+        "mol": jax.random.normal(k2, (B, G)),
+    }
+    init_rngs = {
+        "params": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "gan": jax.random.PRNGKey(3),
+    }
+
+    prev = ug.STACKED_PAIRS
+    try:
+        ug.STACKED_PAIRS = False
+        m0 = ug.UMEML_GAN(num_classes=4, gene_group_indexes=groups, hidden=D)
+        p0 = m0.init(init_rngs, batch, method=m0.init_all)["params"]
+
+        twin_names = (
+            "path_decoder", "omic_decoder", "layer_norm_p", "layer_norm_o",
+            "explainer_path", "explainer_omic",
+        )
+        p1 = {k: v for k, v in p0.items() if k not in twin_names}
+        p1["pair_decoder"] = tree_map(
+            lambda a, b: jnp.stack([a, b]), p0["path_decoder"], p0["omic_decoder"]
+        )
+        p1["pair_norm"] = tree_map(
+            lambda a, b: jnp.stack([a, b]), p0["layer_norm_p"], p0["layer_norm_o"]
+        )
+        p1["pair_explainer"] = tree_map(
+            lambda a, b: jnp.stack([a, b]),
+            p0["explainer_path"], p0["explainer_omic"],
+        )
+
+        out0 = m0.apply({"params": p0}, batch, train=False,
+                        rngs={"gan": jax.random.PRNGKey(7)})
+
+        ug.STACKED_PAIRS = True
+        m1 = ug.UMEML_GAN(num_classes=4, gene_group_indexes=groups, hidden=D)
+        # structure check against a natively-initialized stacked tree
+        p1_native = m1.init(init_rngs, batch, method=m1.init_all)["params"]
+        assert (
+            tree_map(lambda x: x.shape, p1_native)
+            == tree_map(lambda x: x.shape, p1)
+        )
+        out1 = m1.apply({"params": p1}, batch, train=False,
+                        rngs={"gan": jax.random.PRNGKey(7)})
+
+        for k in ("logits", "logits_first_pass", "loss_kd"):
+            np.testing.assert_allclose(
+                np.asarray(out0[k]), np.asarray(out1[k]), rtol=5e-3, atol=5e-3
+            )
+    finally:
+        ug.STACKED_PAIRS = prev
