@@ -76,10 +76,15 @@ HEAD_FUSED = True
 # (the head is dispatch-bound, ~30 us/op — BASELINE.md r3 corollary).
 # Per-slice numerics are exact (vmap is a parallel dim); only the init
 # rng folds differ from the two-module layout. Changes the param tree
-# (pair_decoder/pair_norm/pair_explainer vs the per-twin names), so old
-# checkpoints need the knob off to resume. False restores the reference
-# layout (rescue / A-B knob).
-STACKED_PAIRS = True
+# (pair_decoder/pair_norm/pair_explainer vs the per-twin names).
+# OPT-IN, default False: the step-time win is ~2% (interleaved A/B,
+# BASELINE.md r3), but a 9-run matched-pairs quality study at the GAN-on
+# reduced-scale protocol read -2.7 +- 6.7 C-index points vs the twin
+# layout — inconclusive under the +-6 fold/seed noise, and not worth
+# risking the quality-parity contract for 0.25 ms/step. Flip to True to
+# trade that risk for the dispatch savings (and expect pair_* checkpoint
+# keys).
+STACKED_PAIRS = False
 
 # TransLayer twins stacked over a leading axis: params get a leading
 # dim of 2 (independent init draws per slice), dropout rngs split per
