@@ -97,9 +97,20 @@ def main():
     ap.add_argument("--prec", default="fp32", choices=["fp32", "bf16"],
                     help="bf16 inference roughly doubles MXU throughput")
     ap.add_argument("--key", default="clip_vit_b32_feature")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel size: shard the ViT blocks "
+                    "Megatron-style over a 'model' mesh axis (the remaining "
+                    "devices form the data axis); for towers too large per "
+                    "chip (ViT-L+) or small-batch latency")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. cpu); needed because "
+                    "the axon TPU plugin ignores JAX_PLATFORMS")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from imp_tpu.models.clip import CLIP_CONFIGS, build_vision_tower
@@ -122,11 +133,43 @@ def main():
             params,
         )
 
-    @jax.jit
-    def encode(p, x_u8):  # uint8 in, normalize on device
-        return model.apply(p, device_normalize(x_u8, cdtype)).astype(
-            jnp.float32
+    if args.tp > 1:
+        if CLIP_CONFIGS[args.model]["vision_patch_size"] is None:
+            raise SystemExit("--tp supports the ViT towers only")
+        from imp_tpu.parallel.mesh import make_mesh
+        from imp_tpu.parallel.tensor import (
+            make_tp_encode, put_tp_params, split_vision_params_tp,
         )
+
+        ndev = jax.device_count()
+        if ndev % args.tp != 0:
+            raise SystemExit(f"--tp {args.tp} does not divide {ndev} devices")
+        dp = ndev // args.tp
+        if args.batch_size % dp != 0:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by the "
+                f"data-axis size {dp} (= devices/tp)"
+            )
+        mesh = make_mesh(("data", "model"), (dp, args.tp))
+        tp_params = put_tp_params(
+            split_vision_params_tp(params, args.tp), mesh
+        )
+        _tp_encode = make_tp_encode(
+            model, mesh, pre=lambda x: device_normalize(x, cdtype)
+        )
+
+        def encode(p, x_u8):
+            return _tp_encode(tp_params, x_u8).astype(jnp.float32)
+
+        params = None  # weights live sharded in tp_params
+        print(f"tensor parallel: mesh {mesh} (dp={dp}, tp={args.tp})")
+    else:
+
+        @jax.jit
+        def encode(p, x_u8):  # uint8 in, normalize on device
+            return model.apply(p, device_normalize(x_u8, cdtype)).astype(
+                jnp.float32
+            )
 
     os.makedirs(args.dst, exist_ok=True)
     slides = sorted(
