@@ -87,6 +87,13 @@ def split_vision_params_tp(params: Dict, tp: int) -> Dict:
     return {"rep": rep, "shard": shard}
 
 
+def split_text_params_tp(params: Dict, tp: int) -> Dict:
+    """Split flax :class:`~imp_tpu.models.clip.TextTransformer` params the
+    same way (the text tower shares the residual-block structure; only the
+    embedding/pooling ends differ)."""
+    return split_vision_params_tp(params, tp)
+
+
 def _layer_norm(x, ln, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
@@ -97,7 +104,8 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _block_tp(x, rep, shard, heads_local: int, axis_name: str):
+def _block_tp(x, rep, shard, heads_local: int, axis_name: str,
+              causal: bool = False):
     """One pre-LN residual transformer block with this device's head/column
     shard; two psums reassemble the residual branches."""
     b, n, d = x.shape
@@ -114,6 +122,9 @@ def _block_tp(x, rep, shard, heads_local: int, axis_name: str):
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
     scores = jnp.einsum("bhld,bhsd->bhls", q * (dh**-0.5), k)
+    if causal:
+        cm = jnp.tril(jnp.ones((n, n), dtype=bool))
+        scores = jnp.where(cm[None, None], scores, -jnp.inf)
     w = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhls,bhsd->bhld", w, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
@@ -154,6 +165,54 @@ def _vit_forward_tp(vit, rep, shard, x, axis_name: str):
         x = _block_tp(x, rep[key], local, heads_local, axis_name)
     x = _layer_norm(x[:, 0, :], rep["ln_post"])
     return x @ rep["proj"]
+
+
+def _text_forward_tp(txt, rep, shard, tokens, axis_name: str):
+    """Per-device text-tower forward (mirrors
+    :meth:`imp_tpu.models.clip.TextTransformer.__call__`, ref
+    ``clip/model.py:343-355``) with causal blocks sharded over
+    ``axis_name``."""
+    tp = lax.axis_size(axis_name)
+    assert txt.heads % tp == 0, (
+        f"{txt.heads} attention heads not divisible by model-axis size {tp}"
+    )
+    heads_local = txt.heads // tp
+    x = rep["token_embedding"][tokens] + rep["positional_embedding"][
+        None, : tokens.shape[1]
+    ]
+    for i in range(txt.layers):
+        key = f"resblocks_{i}"
+        local = jax.tree_util.tree_map(lambda t: t[0], shard[key])
+        x = _block_tp(x, rep[key], local, heads_local, axis_name, causal=True)
+    x = _layer_norm(x, rep["ln_final"])
+    eot = tokens.argmax(axis=-1)
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    return pooled @ rep["text_projection"]
+
+
+def make_tp_encode_text(txt, mesh: Mesh, data_axis: str = "data",
+                        model_axis: str = "model"):
+    """jitted ``fn(tp_params, tokens) -> embeddings`` — the text-tower
+    counterpart of :func:`make_tp_encode` (PLIP prompt encoding for
+    prototype extraction, CLIPOMIC's frozen tower)."""
+
+    def body(rep, shard, tokens):
+        return _text_forward_tp(txt, rep, shard, tokens, model_axis)
+
+    def specs_like(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
+    def fn(tp_params, tokens):
+        sharded = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(specs_like(tp_params["rep"], P()),
+                      specs_like(tp_params["shard"], P(model_axis)),
+                      P(data_axis)),
+            out_specs=P(data_axis),
+        )
+        return sharded(tp_params["rep"], tp_params["shard"], tokens)
+
+    return jax.jit(fn)
 
 
 def make_tp_encode(vit, mesh: Mesh, data_axis: str = "data",

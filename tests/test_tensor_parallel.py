@@ -9,10 +9,12 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh
 
-from imp_tpu.models.clip import VisionTransformer
+from imp_tpu.models.clip import TextTransformer, VisionTransformer
 from imp_tpu.parallel.tensor import (
     make_tp_encode,
+    make_tp_encode_text,
     put_tp_params,
+    split_text_params_tp,
     split_vision_params_tp,
 )
 
@@ -59,6 +61,19 @@ def test_tp_requires_divisible_heads(rng):
         # sharded forward must reject it)
         tp_params = put_tp_params(split_vision_params_tp(params, 2), mesh)
         make_tp_encode(vit, mesh)(tp_params, images)
+
+
+def test_tp_text_tower_matches_single_device(rng):
+    txt = TextTransformer(context_length=12, vocab_size=64, width=32,
+                          heads=4, layers=2, embed_dim=16)
+    tokens = jnp.asarray(rng.integers(1, 64, size=(4, 12)), jnp.int32)
+    params = txt.init(jax.random.PRNGKey(0), tokens[:1])
+    want = txt.apply(params, tokens)
+    mesh = _mesh(2, 4)
+    tp_params = put_tp_params(split_text_params_tp(params, 4), mesh)
+    got = make_tp_encode_text(txt, mesh)(tp_params, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_tp_converted_torch_weights_roundtrip(rng):
