@@ -102,10 +102,20 @@ def main():
                     "Megatron-style over a 'model' mesh axis (the remaining "
                     "devices form the data axis); for towers too large per "
                     "chip (ViT-L+) or small-batch latency")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel size: stage the ViT blocks "
+                    "GPipe-style over a 'pipe' mesh axis (the remaining "
+                    "devices form the data axis); point-to-point comms "
+                    "only — for deep towers when all-reduce bandwidth is "
+                    "the constraint")
+    ap.add_argument("--microbatches", type=int, default=4,
+                    help="GPipe microbatches per batch under --pp")
     ap.add_argument("--platform", default="",
                     help="force a jax platform (e.g. cpu); needed because "
                     "the axon TPU plugin ignores JAX_PLATFORMS")
     args = ap.parse_args()
+    if args.tp > 1 and args.pp > 1:
+        raise SystemExit("--tp and --pp are mutually exclusive")
 
     import jax
 
@@ -163,6 +173,38 @@ def main():
 
         params = None  # weights live sharded in tp_params
         print(f"tensor parallel: mesh {mesh} (dp={dp}, tp={args.tp})")
+    elif args.pp > 1:
+        if CLIP_CONFIGS[args.model]["vision_patch_size"] is None:
+            raise SystemExit("--pp supports the ViT towers only")
+        from imp_tpu.parallel.mesh import make_mesh
+        from imp_tpu.parallel.pipeline import (
+            make_pp_encode, put_pp_params, split_vision_params_pp,
+        )
+
+        ndev = jax.device_count()
+        if ndev % args.pp != 0:
+            raise SystemExit(f"--pp {args.pp} does not divide {ndev} devices")
+        dp = ndev // args.pp
+        if args.batch_size % (dp * args.microbatches) != 0:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"data-axis size x microbatches = {dp * args.microbatches}"
+            )
+        mesh = make_mesh(("data", "pipe"), (dp, args.pp))
+        pp_params = put_pp_params(
+            split_vision_params_pp(params, args.pp), mesh
+        )
+        _pp_encode = make_pp_encode(
+            model, mesh, args.microbatches,
+            pre=lambda x: device_normalize(x, cdtype),
+        )
+
+        def encode(p, x_u8):
+            return _pp_encode(pp_params, x_u8).astype(jnp.float32)
+
+        params = None
+        print(f"pipeline parallel: mesh {mesh} (dp={dp}, pp={args.pp}, "
+              f"mb={args.microbatches})")
     else:
 
         @jax.jit
