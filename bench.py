@@ -23,18 +23,19 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 import numpy as np
 
 
-def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden=256, prec="fp32",
-               no_gan=False, no_mod=False, no_opt=False, no_kd=False):
-    import jax
-    import jax.numpy as jnp
+# reference gene-group sizes (umeml_gan.py:274)
+GENE_GROUP_SIZES = (82, 330, 513, 440, 1538, 451)
 
+
+def build_canonical_model(hidden=256):
+    """The canonical bench model (UMEML_GAN at the shipped config).
+
+    One definition shared by :func:`build_step` and tools/bench_anatomy.py so
+    the piecewise step anatomy always times the same model the full-step
+    bench runs.  Returns ``(cfg, model)``.
+    """
     from imp_tpu.config import get_cfg_default
-    from imp_tpu.engine.mbtrain import GEN_KEYS, DIS_KEYS, _merge, _take
-    from imp_tpu.losses import build_loss
     from imp_tpu.models import build_model
-    from imp_tpu.models.umeml_gan import UMEML_GAN
-    from imp_tpu.optim import build_optimizer
-    import optax
 
     cfg = get_cfg_default()
     cfg.MODEL.NAME = "umeml_gan"
@@ -43,6 +44,24 @@ def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden
     cfg.MODEL.DROPOUT = 0.25
     cfg.MODEL.UMEML.PROTOTYPES = 6
     cfg.MODEL.UMEML.REGISTERS = 3
+    starts = np.cumsum([0] + list(GENE_GROUP_SIZES))
+    groups = [list(range(starts[i], starts[i + 1])) for i in range(len(GENE_GROUP_SIZES))]
+    model = build_model("umeml_gan", cfg=cfg, num_classes=4, gene_group_indexes=groups)
+    return cfg, model
+
+
+def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden=256, prec="fp32",
+               no_gan=False, no_mod=False, no_opt=False, no_kd=False):
+    import jax
+    import jax.numpy as jnp
+
+    from imp_tpu.engine.mbtrain import GEN_KEYS, DIS_KEYS, _merge, _take
+    from imp_tpu.losses import build_loss
+    from imp_tpu.models.umeml_gan import UMEML_GAN
+    from imp_tpu.optim import build_optimizer
+    import optax
+
+    cfg, model = build_canonical_model(hidden=hidden)
     cfg.OPTIM.LR = 2e-4
     cfg.OPTIM.WEIGHT_DECAY = 1e-4
     cfg.OPTIM.LR_SCHEDULER = "cosine"
@@ -62,12 +81,6 @@ def build_step(batch_size=2, bag_pad=10000, feat_dim=512, num_genes=3360, hidden
         "insample_without_omic": jnp.zeros((batch_size, num_genes), jnp.int32),
         "omic_means": jnp.ones((num_genes,), jnp.float32),
     }
-    # reference gene-group sizes [82,330,513,440,1538,451] (umeml_gan.py:274)
-    sizes = [82, 330, 513, 440, 1538, 451]
-    starts = np.cumsum([0] + sizes)
-    groups = [list(range(starts[i], starts[i + 1])) for i in range(6)]
-
-    model = build_model("umeml_gan", cfg=cfg, num_classes=4, gene_group_indexes=groups)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
          "gan": jax.random.PRNGKey(2)},

@@ -42,7 +42,14 @@ import numpy as np
 import optax
 
 from . import TRAINER_REGISTRY
-from .trainer import ARRAY_KEYS, TrainerBase, cast_floats, compute_dtype_of, device_batch
+from .trainer import (
+    ARRAY_KEYS,
+    TrainerBase,
+    cast_floats,
+    compute_dtype_of,
+    device_batch,
+    sp_batch_specs,
+)
 from ..losses import cca_loss as cca_loss_fn
 from ..losses import similarity_alignment_loss
 from ..models import build_model
@@ -208,19 +215,7 @@ class MBTRAIN(TrainerBase):
                 else rng
             )
 
-        def _sp_specs(batch):
-            from jax.sharding import PartitionSpec as P
-
-            return {
-                k: (
-                    P("data", "seq")
-                    if k in ("img", "img_mask")
-                    else P()
-                    if k == "omic_means" or jnp.ndim(v) == 0
-                    else P("data")
-                )
-                for k, v in batch.items()
-            }
+        _sp_specs = sp_batch_specs
 
         def _wrap_train(body):
             """jit (+ shard_map under sp) a (state, batch, *rest) step."""

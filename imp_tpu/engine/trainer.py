@@ -77,6 +77,24 @@ def pad_ragged_dim0(arrays: Dict, n_shards: int) -> Dict:
 SEQ_SHARDED_KEYS = ("img", "img_mask")  # token axis shardable over "seq"
 
 
+def sp_batch_specs(batch):
+    """Per-key PartitionSpecs for a shard_map'ed train body on a dp x sp mesh:
+    SEQ_SHARDED_KEYS shard (batch, token) over ("data", "seq"); REPLICATED_KEYS
+    and scalars replicate; everything else shards dim 0 over "data"."""
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        k: (
+            P("data", "seq")
+            if k in SEQ_SHARDED_KEYS
+            else P()
+            if k in REPLICATED_KEYS or jnp.ndim(v) == 0
+            else P("data")
+        )
+        for k, v in batch.items()
+    }
+
+
 def device_batch(batch: Dict, mesh) -> Dict:
     """Ship array fields to the mesh (dim 0 sharded over 'data', wrap-padded
     to the data-axis size; REPLICATED_KEYS replicated; on a mesh with a
@@ -651,18 +669,7 @@ class StandardTrainer(TrainerBase):
             from jax.sharding import PartitionSpec as P
 
             mesh = self.mesh
-
-            def _sp_specs(batch):
-                return {
-                    k: (
-                        P("data", "seq")
-                        if k in SEQ_SHARDED_KEYS
-                        else P()
-                        if k in REPLICATED_KEYS or jnp.ndim(v) == 0
-                        else P("data")
-                    )
-                    for k, v in batch.items()
-                }
+            _sp_specs = sp_batch_specs
 
             @partial(jax.jit, donate_argnums=donate)
             def _train_step(params, model_state, opt_state, batch, rng):

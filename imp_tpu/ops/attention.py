@@ -159,6 +159,23 @@ def moore_penrose_pinv(x: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     return z.astype(in_dtype)
 
 
+def res_conv_param(module, h: int, ksz: int) -> jnp.ndarray:
+    """The ``res_conv`` depthwise token-conv filter, one per head (reference
+    ``Conv2d(heads, heads, (k,1), groups=heads, bias=False)``; torch default
+    init uniform(±1/sqrt(fan_in)) with fan_in = in_channels/groups·kh·kw =
+    ksz).  One definition shared by the Nyström, flash, and sequence-parallel
+    attention paths so the parameter name/shape/init — and therefore
+    checkpoint interchangeability between the paths — cannot drift."""
+    fan_in = ksz
+    return module.param(
+        "res_conv",
+        lambda key, shape: jax.random.uniform(
+            key, shape, jnp.float32, -1.0 / math.sqrt(fan_in), 1.0 / math.sqrt(fan_in)
+        ),
+        (h, 1, ksz, 1),
+    )
+
+
 def residual_depthwise_conv(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Per-head depthwise conv over the token axis (the Nyström value
     residual, reference ``Conv2d(heads, heads, (k,1), groups=heads)``).
@@ -389,17 +406,7 @@ class NystromAttention(nn.Module):
         out = (attn1 @ attn2_inv) @ (attn3 @ v)
 
         if self.residual:
-            ksz = self.residual_conv_kernel
-            # depthwise conv over the token axis, one filter per head
-            # (reference Conv2d(heads, heads, (k,1), groups=heads, bias=False))
-            fan_in = ksz  # in_channels/groups * kh * kw
-            w = self.param(
-                "res_conv",
-                lambda key, shape: jax.random.uniform(
-                    key, shape, jnp.float32, -1.0 / math.sqrt(fan_in), 1.0 / math.sqrt(fan_in)
-                ),
-                (h, 1, ksz, 1),
-            )
+            w = res_conv_param(self, h, self.residual_conv_kernel)
             res = residual_depthwise_conv(v, w).astype(out.dtype)
             out = out + res
 
@@ -561,16 +568,7 @@ class ExactSelfAttention(nn.Module):
         out = flash_attention(q, k, v, mask=mask, scale=self.dim_head**-0.5)
 
         if self.residual:
-            ksz = self.residual_conv_kernel
-            fan_in = ksz
-            w = self.param(
-                "res_conv",
-                lambda key, shape: jax.random.uniform(
-                    key, shape, jnp.float32, -1.0 / math.sqrt(fan_in),
-                    1.0 / math.sqrt(fan_in),
-                ),
-                (h, 1, ksz, 1),
-            )
+            w = res_conv_param(self, h, self.residual_conv_kernel)
             res = residual_depthwise_conv(v, w).astype(out.dtype)
             out = out + res
 
@@ -612,16 +610,7 @@ class ExactSelfAttention(nn.Module):
         )
 
         if self.residual:
-            ksz = self.residual_conv_kernel
-            fan_in = ksz
-            w = self.param(
-                "res_conv",
-                lambda key, shape: jax.random.uniform(
-                    key, shape, jnp.float32, -1.0 / math.sqrt(fan_in),
-                    1.0 / math.sqrt(fan_in),
-                ),
-                (h, 1, ksz, 1),
-            )
+            w = res_conv_param(self, h, self.residual_conv_kernel)
             # depthwise token conv needs +-16 neighbor tokens: run it on the
             # gathered full v (pad tokens are zero, so the band boundaries
             # see exactly the single-device SAME-padding values) and slice

@@ -72,7 +72,21 @@ def save_checkpoint(
         # writes its own shards) — no primary-only gating
         _orbax_save(fpath, state)
         if is_best and osp.basename(fpath) != "model-best.ckpt":
-            _orbax_save(osp.join(directory, "model-best.ckpt"), state)
+            # the collective save above is already durable when it returns;
+            # duplicate it as model-best.ckpt with a primary-only filesystem
+            # copy (atomic rename) instead of a second full collective write
+            if jax.process_index() == 0 or jax.process_count() == 1:
+                import os
+                import shutil
+
+                best = osp.join(directory, "model-best.ckpt")
+                tmp = best + ".tmp"
+                if osp.exists(tmp):
+                    shutil.rmtree(tmp)
+                shutil.copytree(fpath, tmp)
+                if osp.exists(best):
+                    shutil.rmtree(best)
+                os.replace(tmp, best)
         if jax.process_index() == 0 or jax.process_count() == 1:
             with open(osp.join(directory, "checkpoint"), "w") as f:
                 f.write(osp.basename(fpath))

@@ -85,6 +85,11 @@ def test_orbax_best_checkpoint(tmp_path):
     best = best_checkpoint_path(d)
     assert best is not None and osp.isdir(best)
     _assert_tree_equal(load_checkpoint(best, _state(seed=3)), state)
+    # a later improvement replaces the existing best atomically
+    state2 = _state(seed=8, epoch=5)
+    save_checkpoint(state2, d, 5, is_best=True, backend="orbax")
+    _assert_tree_equal(load_checkpoint(best, _state(seed=9)), state2)
+    assert not osp.exists(best + ".tmp")
 
 
 def test_mixed_backend_resume(tmp_path):

@@ -61,7 +61,7 @@ def main():
     import optax
     from functools import partial
 
-    from bench import build_step
+    from bench import build_canonical_model, build_step
     from imp_tpu.engine.mbtrain import GEN_KEYS, _merge, _take
     from imp_tpu.engine.trainer import cast_floats
     from imp_tpu.models.umeml_gan import UMEML_GAN
@@ -72,22 +72,9 @@ def main():
         batch_size=args.batch_size, prec=args.prec
     )
 
-    # rebuild the same model/params for piecewise timing
-    from imp_tpu.config import get_cfg_default
-    from imp_tpu.models import build_model
-
-    cfg = get_cfg_default()
-    cfg.MODEL.HIDDEN_DIM = 256
-    cfg.MODEL.FUSION = "concat"
-    cfg.MODEL.DROPOUT = 0.25
-    cfg.MODEL.UMEML.PROTOTYPES = 6
-    cfg.MODEL.UMEML.REGISTERS = 3
-    sizes = [82, 330, 513, 440, 1538, 451]
-    starts = np.cumsum([0] + sizes)
-    groups = [list(range(starts[i], starts[i + 1])) for i in range(6)]
-    model = build_model(
-        "umeml_gan", cfg=cfg, num_classes=4, gene_group_indexes=groups
-    )
+    # rebuild the same model/params for piecewise timing (shared builder —
+    # the anatomy must time exactly the model the full step runs)
+    cfg, model = build_canonical_model()
     params = state["params"]
     cdtype = jnp.bfloat16 if args.prec == "bf16" else None
 

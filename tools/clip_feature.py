@@ -269,8 +269,11 @@ def main():
         feats = np.concatenate(feats, axis=0)
         import h5py
 
-        with h5py.File(out_path, "w") as f:
+        # write to a temp file renamed into place so an interrupted
+        # extraction never leaves a partial .h5 that a resume would skip
+        with h5py.File(out_path + ".tmp", "w") as f:
             f.create_dataset(args.key, data=feats)
+        os.replace(out_path + ".tmp", out_path)
         total_patches += len(patches)
         rate = total_patches / (time.perf_counter() - t_start)
         print(f"{slide}: {len(patches)} patches -> {out_path}  ({rate:.1f} patches/s)")
