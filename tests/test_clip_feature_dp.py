@@ -72,6 +72,54 @@ def test_clip_feature_dp_sharded_extraction(tmp_path, monkeypatch):
     tool.main()
 
 
+def test_clip_feature_serial_extraction_and_atomic_resume(tmp_path, monkeypatch):
+    """tools/clip_feature.py end-to-end: extraction writes the --key dataset,
+    completed slides are skipped on re-run, and a leftover .h5.tmp from an
+    interrupted run neither blocks re-extraction nor survives it."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from imp_tpu.models.clip import CLIP_CONFIGS
+
+    CLIP_CONFIGS["ViT-B/32"] = dict(
+        embed_dim=16, image_resolution=32, vision_layers=1, vision_width=64,
+        vision_patch_size=16, context_length=8, vocab_size=100,
+        transformer_width=16, transformer_heads=2, transformer_layers=1,
+    )
+
+    src = tmp_path / "patches"
+    rng = np.random.default_rng(1)
+    for slide, n in (("sA", 4), ("sB.v1", 3)):  # dotted id: resume must not truncate it
+        d = src / slide
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.fromarray(
+                rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+            ).save(d / f"{i}.png")
+
+    dst = tmp_path / "feat"
+    argv = ["clip_feature.py", "--src", str(src), "--dst", str(dst),
+            "--random-weights", "--batch-size", "3", "--key", "feat",
+            "--platform", "cpu"]
+    monkeypatch.setattr(sys, "argv", argv)
+    tool = _load_tool("clip_feature")
+    tool.main()
+
+    with h5py.File(dst / "sA.h5") as f:
+        assert f["feat"].shape == (4, 16)
+    with h5py.File(dst / "sB.v1.h5") as f:
+        assert f["feat"].shape == (3, 16)
+    assert not list(dst.glob("*.tmp"))
+
+    # simulate an interrupted extraction: delete one output, leave its tmp
+    (dst / "sA.h5").unlink()
+    (dst / "sA.h5.tmp").write_bytes(b"partial")
+    tool.main()  # skips sB.v1 (exists), re-extracts sA despite the tmp
+    with h5py.File(dst / "sA.h5") as f:
+        assert f["feat"].shape == (4, 16)
+    assert not list(dst.glob("*.tmp"))
+
+
 def test_uint8_device_normalize_matches_host_preprocess(tmp_path):
     """The uint8-H2D pipeline (host resize/crop only, normalize fused on
     device) must produce the same tensor as the original host-side fp32
