@@ -1,0 +1,139 @@
+"""CLI drives of the offline ETL tools: kfold split writer, GDC molecular
+transform, CPTAC test-label generation, and PLIP prototype extraction
+(reference tools/kfold.py, tools/transform_molecular.py,
+tools/generate_test_labels.py, extract_prototype_with_plip_train.py)."""
+
+import importlib.util
+import json
+import os.path as osp
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = osp.join(osp.dirname(osp.abspath(__file__)), "..")
+
+
+def _run_tool(name, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", [f"{name}.py"] + argv)
+    spec = importlib.util.spec_from_file_location(
+        name, osp.join(REPO, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    mod.main()
+    return mod
+
+
+def test_kfold_cli_writes_disjoint_partition(tmp_path, monkeypatch):
+    pytest.importorskip("sklearn")
+    labels = tmp_path / "all_labels.csv"
+    n = 23
+    pd.DataFrame({
+        "features": [f"s{i}.h5" for i in range(n)],
+        "labels": np.arange(n) % 3,
+        "survival_months": np.linspace(1, 60, n),
+        "censorship": np.arange(n) % 2,
+    }).to_csv(labels, index=False)
+    out = tmp_path / "splits"
+
+    _run_tool("kfold", ["--labels", str(labels), "--out", str(out),
+                        "--task", "survival",
+                        "--extra-cols", "survival_months", "censorship"],
+              monkeypatch)
+
+    seen_test = []
+    for fold in range(1, 6):
+        tr = pd.read_csv(out / f"survival_train_{fold}.csv")
+        te = pd.read_csv(out / f"survival_test_{fold}.csv")
+        assert list(tr.columns) == ["features", "labels",
+                                    "survival_months", "censorship"]
+        assert len(tr) + len(te) == n
+        assert not set(tr["features"]) & set(te["features"])
+        seen_test.extend(te["features"])
+    # the 5 test folds partition the dataset
+    assert sorted(seen_test) == sorted(f"s{i}.h5" for i in range(n))
+
+
+def test_transform_molecular_cli(tmp_path, monkeypatch):
+    # GDC tree: origin/<file_id>/<file_name> TSV (first line is a comment
+    # row the tool skips), with genes g0..g9
+    origin = tmp_path / "origin"
+    (origin / "fid1").mkdir(parents=True)
+    tsv = "# gdc comment line\ngene_name\tfpkm_uq_unstranded\n" + "".join(
+        f"g{i}\t{float(i)}\n" for i in range(10)
+    )
+    (origin / "fid1" / "rna.tsv").write_text(tsv)
+    meta = tmp_path / "meta.json"
+    meta.write_text(json.dumps([{
+        "file_id": "fid1", "file_name": "rna.tsv",
+        "associated_entities": [
+            {"entity_submitter_id": "TCGA-AB-1234-01A-11R"}
+        ],
+    }]))
+    # variance ranking puts g9..g0 descending; top-k 4 keeps g9,g8,g7,g6
+    var = tmp_path / "variance.csv"
+    pd.DataFrame({"gene_name": [f"g{i}" for i in range(10)],
+                  "variance": np.arange(10.0)}).to_csv(var, index=False)
+    feats = tmp_path / "features"
+    feats.mkdir()
+    (feats / "TCGA-AB-1234-01Z-00-DX1.h5").write_bytes(b"")
+    (feats / "TCGA-ZZ-9999-01Z-00-DX1.h5").write_bytes(b"")  # no RNA match
+    out = tmp_path / "molecular"
+
+    _run_tool("transform_molecular",
+              ["--gdc-meta", str(meta), "--gene-variance", str(var),
+               "--origin-dir", str(origin), "--feature-dir", str(feats),
+               "--out-dir", str(out), "--top-k", "4"],
+              monkeypatch)
+
+    got = pd.read_csv(out / "TCGA-AB-1234-01Z-00-DX1.csv")
+    assert sorted(got["gene_name"]) == ["g6", "g7", "g8", "g9"]
+    assert got.set_index("gene_name")["fpkm_uq_unstranded"]["g9"] == 9.0
+    assert not (out / "TCGA-ZZ-9999-01Z-00-DX1.csv").exists()
+
+
+def test_generate_test_labels_survival(tmp_path, monkeypatch):
+    from imp_tpu.data.labeling import DAYS_IN_MONTH
+
+    meta = tmp_path / "cptac.csv"
+    pd.DataFrame({
+        "case_id": ["C1 ", "C2"],  # stray whitespace must be stripped
+        "OS_days": [365.0, 30.4],
+        "OS_event": [1, 0],        # event=death -> censorship flips
+    }).to_csv(meta, index=False)
+    out = tmp_path / "labels"
+
+    _run_tool("generate_test_labels",
+              ["--meta", str(meta), "--task", "survival", "--out", str(out)],
+              monkeypatch)
+
+    df = pd.read_csv(out / "survival" / "survival_test.csv")
+    assert list(df["patients"]) == ["C1", "C2"]
+    np.testing.assert_allclose(
+        df["survival_months"], [round(365.0 / DAYS_IN_MONTH, 2),
+                                round(30.4 / DAYS_IN_MONTH, 2)])
+    assert list(df["censorship"]) == [0, 1]
+
+
+def test_extract_prototypes_from_embeddings(tmp_path, monkeypatch):
+    prompts = tmp_path / "prompt.json"
+    prompts.write_text(json.dumps({
+        "tumor": ["a", "b", "c"], "normal": ["d", "e"],
+    }))
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(5, 16)).astype(np.float32)
+    np.save(tmp_path / "emb.npy", emb)
+    out = tmp_path / "protos.npy"
+
+    _run_tool("extract_prototypes",
+              ["--prompts", str(prompts), "--embeddings",
+               str(tmp_path / "emb.npy"), "--out", str(out),
+               "--target-dim", "8"],
+              monkeypatch)
+
+    p = np.load(out)
+    assert p.shape == (1, 2, 8) and p.dtype == np.float32
+    assert np.isfinite(p).all()
