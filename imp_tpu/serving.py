@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import os.path as osp
+import threading
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -174,6 +175,9 @@ class ServingModel:
         self._aux = dict(np.load(osp.join(out_dir, AUX)))
         self.batch_size = self.manifest["batch_size"]
         self.bag_pad = self.manifest.get("bag_pad")
+        # the AOT call itself is compiled code with internal buffers; one
+        # lock serializes concurrent HTTP requests through it
+        self._call_lock = threading.Lock()
 
     # -------------------------------------------------------------- #
     def _pad_bags(self, bags) -> Tuple[np.ndarray, np.ndarray]:
@@ -232,24 +236,54 @@ class ServingModel:
                 idx = np.arange(spec["shape"][0]) % v.shape[0]  # wrap-pad
                 v = v[idx]
             full[k] = v
-        if self.manifest["kind"] == "mbtrain":
-            outs = self._exported.call(self._params, full)
-            named = {
-                name: np.asarray(o)[:b]
-                for name, o in zip(self.manifest["outputs"], outs)
-                if o is not None
-            }
-        else:
-            logits = self._exported.call(
-                self._params["params"], self._params["model_state"], full
-            )
-            named = {"logits": np.asarray(logits)[:b]}
+        with self._call_lock:
+            if self.manifest["kind"] == "mbtrain":
+                outs = self._exported.call(self._params, full)
+                named = {
+                    name: np.asarray(o)[:b]
+                    for name, o in zip(self.manifest["outputs"], outs)
+                    if o is not None
+                }
+            else:
+                logits = self._exported.call(
+                    self._params["params"], self._params["model_state"], full
+                )
+                named = {"logits": np.asarray(logits)[:b]}
         return named
+
+    def predict_many(self, batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        """:meth:`predict` for batches of ANY size: per-sample inputs are
+        split into exported-batch-size chunks, each chunk runs through the
+        AOT program, and the outputs concatenate back in order.  Replicated
+        inputs (e.g. an explicit ``omic_means``) pass through unchanged."""
+        per_sample = [k for k in ("img", "mol", "label") if k in batch]
+        if not per_sample:
+            per_sample = [k for k in batch if k != "omic_means"]
+        b = len(batch[per_sample[0]])
+        B = self.batch_size
+        if b <= B:
+            return self.predict(batch)
+
+        def sliced(v, s, e):
+            if isinstance(v, (list, tuple)):  # ragged bag lists
+                return list(v[s:e])
+            v = np.asarray(v)
+            return v[s:e] if v.ndim and v.shape[0] == b else v
+
+        chunks = [
+            self.predict({k: sliced(v, s, min(s + B, b))
+                          for k, v in batch.items()})
+            for s in range(0, b, B)
+        ]
+        return {
+            k: np.concatenate([c[k] for c in chunks], axis=0)
+            for k in chunks[0]
+        }
 
     def predict_risk(self, batch: Dict[str, Any]) -> np.ndarray:
         """Survival convenience: logits → hazards → S → risk = −ΣS, the exact
         eval math of the reference (``evaluator.py:369-382``)."""
-        logits = self.predict(batch)["logits"]
+        logits = self.predict_many(batch)["logits"]
         hazards = 1.0 / (1.0 + np.exp(-logits))
         S = np.cumprod(1.0 - hazards, axis=1)
         return -S.sum(axis=1)
@@ -257,3 +291,89 @@ class ServingModel:
 
 def load_model(out_dir: str) -> ServingModel:
     return ServingModel(out_dir)
+
+
+# =========================================================================
+# HTTP serving host (stdlib-only; see tools/serve.py for the CLI)
+# =========================================================================
+
+
+def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
+                     port: int = 8500):
+    """A threaded stdlib HTTP server around a loaded export.
+
+    Endpoints (JSON in / JSON out):
+
+    * ``GET /health`` — ``{"status": "ok", ...manifest summary...}``
+    * ``POST /predict`` — body ``{"batch": {...}, "risk": false}``.
+      ``batch["img"]`` may be a ragged list of per-slide ``[n_i, d]`` bags;
+      other exported inputs are optional (zero-filled / aux-filled, see
+      :meth:`ServingModel.predict`).  Any batch size is accepted
+      (:meth:`ServingModel.predict_many` chunks to the exported size).
+      Response: ``{"outputs": {name: nested lists}, "batch_size": b}``;
+      with ``"risk": true`` a survival artifact also returns ``"risk"``.
+
+    Pass ``port=0`` for an ephemeral port (read it back from
+    ``server.server_address[1]``).  Call ``serve_forever()`` to run.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    model = ServingModel(artifact_dir)
+    summary = {
+        "status": "ok",
+        "model": model.manifest["model"],
+        "trainer": model.manifest["trainer"],
+        "task": model.manifest["task"],
+        "batch_size": model.batch_size,
+        "bag_pad": model.bag_pad,
+        "outputs": model.manifest["outputs"],
+        "inputs": model.manifest["batch_keys"],
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "imp-tpu-serve/1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: Dict[str, Any]):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.rstrip("/") in ("", "/health"):
+                self._reply(200, summary)
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path.rstrip("/") != "/predict":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                batch = req.get("batch") or {}
+                if not batch:
+                    raise ValueError("empty 'batch'")
+                outs = model.predict_many(batch)
+                resp = {
+                    "outputs": {k: v.tolist() for k, v in outs.items()},
+                    "batch_size": int(next(iter(outs.values())).shape[0]),
+                }
+                if req.get("risk"):
+                    logits = outs["logits"]
+                    hazards = 1.0 / (1.0 + np.exp(-logits))
+                    S = np.cumprod(1.0 - hazards, axis=1)
+                    resp["risk"] = (-S.sum(axis=1)).tolist()
+                self._reply(200, resp)
+            except Exception as e:  # bad input shapes/keys/json
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.serving_model = model  # handy for callers/tests
+    return server

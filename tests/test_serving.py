@@ -158,3 +158,85 @@ def test_export_cli_generic_trainer_with_checkpoint(synth_root, tmp_path):
     np.testing.assert_allclose(
         served.predict(hb)["logits"], want, rtol=0, atol=1e-5
     )
+
+
+def test_predict_many_chunks_and_http_server(synth_root, tmp_path):
+    """Oversized batches chunk through the AOT program losslessly, and the
+    stdlib HTTP host (tools/serve.py backend) round-trips JSON requests —
+    ragged bags, auto batching, risk outputs, input validation."""
+    import json
+    import threading
+    import urllib.request
+
+    from imp_tpu.serving import make_http_server
+
+    cfg = _cfg(synth_root, tmp_path, "MBTRAIN", model_name="umeml_gan")
+    trainer = build_trainer(cfg)
+    out = str(tmp_path / "exported")
+    export_trainer(trainer, out)
+    served = load_model(out)
+
+    # ---- predict_many: 6 samples through an exported batch size of 4 ----
+    rng = np.random.default_rng(7)
+    bags = [rng.normal(size=(n, 32)).astype(np.float32)
+            for n in (20, 37, 5, 64, 11, 48)]
+    mol = rng.lognormal(size=(6, 120)).astype(np.float32)
+    got = served.predict_many({"img": bags, "mol": mol})
+    assert got["logits"].shape[0] == 6
+    # chunking is exact: same outputs as direct per-chunk predict calls
+    B = served.batch_size
+    assert B < 6  # the tiny split exports a small batch — chunking engages
+    expect = np.concatenate([
+        served.predict({"img": bags[s:s + B], "mol": mol[s:s + B]})["logits"]
+        for s in range(0, 6, B)
+    ])
+    np.testing.assert_allclose(got["logits"], expect, rtol=0, atol=0)
+
+    # ---- HTTP host on an ephemeral port ----
+    server = make_http_server(out, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def call(path, payload=None, expect=200):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=None if payload is None else json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    assert r.status == expect
+                    return json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                assert e.code == expect, e.read()
+                return json.loads(e.read())
+
+        health = call("/health")
+        assert health["status"] == "ok" and health["model"] == "umeml_gan"
+        assert health["batch_size"] == B and health["bag_pad"] == 64
+
+        resp = call("/predict", {
+            "batch": {"img": [b.tolist() for b in bags],
+                      "mol": mol.tolist()},
+            "risk": True,
+        })
+        assert resp["batch_size"] == 6
+        np.testing.assert_allclose(
+            np.asarray(resp["outputs"]["logits"], np.float32),
+            got["logits"], rtol=0, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(resp["risk"]),
+            served.predict_risk({"img": bags, "mol": mol}),
+            rtol=1e-6, atol=1e-6,
+        )
+        # input validation surfaces as 400, not a dead connection
+        err = call("/predict", {"batch": {}}, expect=400)
+        assert "error" in err
+        err = call("/predict", {"batch": {"mol": [[1.0, 2.0]]}}, expect=400)
+        assert "error" in err
+        assert "error" in call("/nope", {}, expect=404)
+    finally:
+        server.shutdown()
+        server.server_close()
