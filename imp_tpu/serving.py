@@ -51,6 +51,19 @@ AUX = "aux.npz"
 #: output field names per trainer kind, in exported order
 _MBTRAIN_OUTPUTS = ("logits", "importance_path", "importance_omic")
 
+#: batch fields that are replicated, not per-sample (mirrors
+#: ``engine.trainer.REPLICATED_KEYS``; kept local so serving stays
+#: importable without the training engine) — never sliced/chunked.
+_REPLICATED_KEYS = ("omic_means",)
+
+
+def survival_risk(logits: np.ndarray) -> np.ndarray:
+    """logits → hazards → S → risk = −ΣS, the exact eval math of the
+    reference (``/root/reference/medmm/evaluation/evaluator.py:369-382``)."""
+    hazards = 1.0 / (1.0 + np.exp(-np.asarray(logits)))
+    S = np.cumprod(1.0 - hazards, axis=1)
+    return -S.sum(axis=1)
+
 
 def _sds(tree):
     import jax
@@ -258,20 +271,26 @@ class ServingModel:
         inputs (e.g. an explicit ``omic_means``) pass through unchanged."""
         per_sample = [k for k in ("img", "mol", "label") if k in batch]
         if not per_sample:
-            per_sample = [k for k in batch if k != "omic_means"]
+            per_sample = [k for k in batch if k not in _REPLICATED_KEYS]
         b = len(batch[per_sample[0]])
         B = self.batch_size
         if b <= B:
             return self.predict(batch)
 
-        def sliced(v, s, e):
+        def sliced(k, v, s, e):
+            # replicated inputs (omic_means) pass through whole; everything
+            # else is sliced only when its outer length is the batch size b
+            # (over HTTP all inputs arrive as JSON lists, so len() is the
+            # only reliable discriminator)
+            if k in _REPLICATED_KEYS:
+                return v
             if isinstance(v, (list, tuple)):  # ragged bag lists
-                return list(v[s:e])
+                return list(v[s:e]) if len(v) == b else v
             v = np.asarray(v)
             return v[s:e] if v.ndim and v.shape[0] == b else v
 
         chunks = [
-            self.predict({k: sliced(v, s, min(s + B, b))
+            self.predict({k: sliced(k, v, s, min(s + B, b))
                           for k, v in batch.items()})
             for s in range(0, b, B)
         ]
@@ -283,10 +302,7 @@ class ServingModel:
     def predict_risk(self, batch: Dict[str, Any]) -> np.ndarray:
         """Survival convenience: logits → hazards → S → risk = −ΣS, the exact
         eval math of the reference (``evaluator.py:369-382``)."""
-        logits = self.predict_many(batch)["logits"]
-        hazards = 1.0 / (1.0 + np.exp(-logits))
-        S = np.cumprod(1.0 - hazards, axis=1)
-        return -S.sum(axis=1)
+        return survival_risk(self.predict_many(batch)["logits"])
 
 
 def load_model(out_dir: str) -> ServingModel:
@@ -360,19 +376,29 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                 batch = req.get("batch") or {}
                 if not batch:
                     raise ValueError("empty 'batch'")
+                want_risk = bool(req.get("risk"))
+                if want_risk and not str(
+                    model.manifest["task"]
+                ).lower().startswith("survival"):
+                    raise ValueError(
+                        f"'risk' is only defined for survival artifacts; "
+                        f"this export's task is {model.manifest['task']!r}"
+                    )
                 outs = model.predict_many(batch)
                 resp = {
                     "outputs": {k: v.tolist() for k, v in outs.items()},
                     "batch_size": int(next(iter(outs.values())).shape[0]),
                 }
-                if req.get("risk"):
-                    logits = outs["logits"]
-                    hazards = 1.0 / (1.0 + np.exp(-logits))
-                    S = np.cumprod(1.0 - hazards, axis=1)
-                    resp["risk"] = (-S.sum(axis=1)).tolist()
+                if want_risk:
+                    resp["risk"] = survival_risk(outs["logits"]).tolist()
                 self._reply(200, resp)
-            except Exception as e:  # bad input shapes/keys/json
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:  # bad input shapes/keys/json
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # genuine server-side failure
+                import traceback
+                traceback.print_exc()
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.serving_model = model  # handy for callers/tests

@@ -192,6 +192,15 @@ def test_predict_many_chunks_and_http_server(synth_root, tmp_path):
     ])
     np.testing.assert_allclose(got["logits"], expect, rtol=0, atol=0)
 
+    # replicated inputs (omic_means) must NOT be sliced per chunk: an
+    # explicit omic_means (as a plain JSON-style list, the HTTP case) gives
+    # identical outputs to the aux-supplied default it duplicates
+    means = [float(x) for x in np.asarray(trainer.omic_means, np.float32)]
+    got_rep = served.predict_many({"img": bags, "mol": mol,
+                                   "omic_means": means})
+    np.testing.assert_allclose(got_rep["logits"], got["logits"],
+                               rtol=0, atol=0)
+
     # ---- HTTP host on an ephemeral port ----
     server = make_http_server(out, port=0)
     port = server.server_address[1]
@@ -237,6 +246,24 @@ def test_predict_many_chunks_and_http_server(synth_root, tmp_path):
         err = call("/predict", {"batch": {"mol": [[1.0, 2.0]]}}, expect=400)
         assert "error" in err
         assert "error" in call("/nope", {}, expect=404)
+
+        # "risk" on a non-survival artifact is a 400 client error
+        server.serving_model.manifest["task"] = "Grading"
+        err = call("/predict", {
+            "batch": {"img": [bags[0].tolist()], "mol": [mol[0].tolist()]},
+            "risk": True,
+        }, expect=400)
+        assert "survival" in err["error"]
+        server.serving_model.manifest["task"] = "Survival"
+
+        # genuine server-side failures report 500, not 400
+        def boom(batch):
+            raise RuntimeError("injected device failure")
+
+        server.serving_model.predict_many = boom
+        err = call("/predict", {"batch": {"mol": mol.tolist()}}, expect=500)
+        assert "injected device failure" in err["error"]
+        del server.serving_model.predict_many
     finally:
         server.shutdown()
         server.server_close()
