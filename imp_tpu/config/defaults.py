@@ -235,6 +235,11 @@ def get_cfg_default() -> CN:
     _C.TPU.MESH_AXES = ("data",)  # mesh axis names
     _C.TPU.MESH_SHAPE = (-1,)  # -1 = all available devices on that axis
     _C.TPU.ATTENTION = "auto"  # "auto" | "dense" | "nystrom" | "flash"
+    # sequence-parallel layout for TransLayer-family models on a "seq" axis:
+    # "gather" = seq-replicated module IO (all-gather-KV bands, O(N)/device);
+    # "ring"   = shard-in/shard-out ring attention + halo convs, O(N/sp)
+    #            per-device activations (100k-patch bags; needs square BAG_PAD)
+    _C.TPU.SP_ATTENTION = "gather"
     _C.TPU.DONATE = True  # donate train-state buffers to the jitted step
     _C.TPU.REMAT = False  # jax.checkpoint the bag encoder
     _C.TPU.PROFILE_DIR = ""  # jax.profiler trace dir ("" = off)

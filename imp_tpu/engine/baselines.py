@@ -32,6 +32,7 @@ class TransMIL(StandardTrainer):
             num_classes=self.network_num_classes(),
             path_input_dim=cfg.DATASET.PATH.DIM,
             seq_axis=getattr(self, "_net_seq_axis", None),
+            sp_mode=cfg.TPU.SP_ATTENTION,
         )
 
 

@@ -42,12 +42,14 @@ class TransMIL_NET(nn.Module):
     num_classes: int
     path_input_dim: int = 512
     seq_axis: object = None  # bag tokens sharded over this mesh axis
+    sp_mode: str = "gather"  # "gather" | "ring" (TPU.SP_ATTENTION)
 
     @nn.compact
     def __call__(self, batch: Dict, train: bool = False) -> jnp.ndarray:
         f = TransMIL_MODULE(
             path_input_dim=self.path_input_dim,
             seq_axis=self.seq_axis,
+            sp_mode=self.sp_mode,
             name="mil",
         )(
             batch["img"], valid=batch.get("img_mask"), deterministic=not train

@@ -176,7 +176,9 @@ def res_conv_param(module, h: int, ksz: int) -> jnp.ndarray:
     )
 
 
-def residual_depthwise_conv(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def residual_depthwise_conv(
+    v: jnp.ndarray, w: jnp.ndarray, token_padding: str = "same"
+) -> jnp.ndarray:
     """Per-head depthwise conv over the token axis (the Nyström value
     residual, reference ``Conv2d(heads, heads, (k,1), groups=heads)``).
 
@@ -184,7 +186,8 @@ def residual_depthwise_conv(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     channels = H·dh (the per-head filter broadcast over dh): TPU lowers
     an 8-channel NCHW depthwise conv ~2.6x slower than the 256-channel
     channels-minor form (measured; the conv is pure overhead otherwise —
-    ~170 MFLOP on a 10k-token bag)."""
+    ~170 MFLOP on a 10k-token bag).  ``token_padding='valid'`` is used by
+    the halo variant (the caller supplies the k//2 boundary tokens)."""
     b, h, n, dh = v.shape
     k = w.shape[2]
     x = jnp.transpose(v, (0, 2, 3, 1)).reshape(b, n, 1, dh * h)
@@ -192,15 +195,78 @@ def residual_depthwise_conv(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     w2 = jnp.tile(
         w[:, 0, :, 0].T[:, None, None, :], (1, 1, 1, dh)
     ).reshape(k, 1, 1, dh * h)
+    pad = (k // 2, k // 2) if token_padding == "same" else (0, 0)
     y = jax.lax.conv_general_dilated(
         x.astype(jnp.float32),
         w2.astype(jnp.float32),
         window_strides=(1, 1),
-        padding=((k // 2, k // 2), (0, 0)),
+        padding=(pad, (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=dh * h,
     )
-    return jnp.transpose(y.reshape(b, n, dh, h), (0, 3, 1, 2)).astype(v.dtype)
+    nout = y.shape[1]
+    return jnp.transpose(y.reshape(b, nout, dh, h), (0, 3, 1, 2)).astype(v.dtype)
+
+
+def halo_depthwise_conv(
+    v_band: jnp.ndarray,  # [B, H, nb, dh] this device's token band
+    w: jnp.ndarray,  # [H, 1, k, 1]
+    axis_name: str,
+    left_extra: Optional[jnp.ndarray] = None,  # [B, H, 1, dh] replicated cls
+):
+    """:func:`residual_depthwise_conv` over a sequence-SHARDED value array
+    without gathering it: k//2-token halos exchange with ring neighbors via
+    ``ppermute`` (O(k) comms, O(N/sp) memory) and the conv runs VALID on the
+    haloed band — numerics identical to the SAME-padded conv over the global
+    sequence ``[left_extra?; band_0; …; band_{sp-1}]``.
+
+    ``left_extra`` is an optional replicated token (the TransMIL cls) that
+    sits immediately before band 0 in the global sequence; when given, its
+    own conv output (computable only where the first band lives) is
+    psum-broadcast and returned as the second element."""
+    from jax import lax
+
+    b, h, nb, dh = v_band.shape
+    k = w.shape[2]
+    r = k // 2
+    if nb < r:
+        raise ValueError(
+            f"halo conv needs band >= k//2 tokens ({nb} < {r}); lower the "
+            f"seq-axis size or use the gather path (TPU.SP_ATTENTION=gather)"
+        )
+    sp = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    # device d's left halo = last r tokens of band d-1 (device 0: zeros =
+    # the SAME zero padding, with the cls token spliced in when present)
+    left = lax.ppermute(
+        v_band[:, :, -r:], axis_name, [(i, i + 1) for i in range(sp - 1)]
+    )
+    if left_extra is not None:
+        dev0_left = jnp.concatenate(
+            [jnp.zeros_like(left[:, :, : r - 1]), left_extra.astype(left.dtype)],
+            axis=2,
+        )
+        left = jnp.where(me == 0, dev0_left, left)
+    right = lax.ppermute(
+        v_band[:, :, :r], axis_name, [(i, i - 1) for i in range(1, sp)]
+    )
+    seq = jnp.concatenate([left, v_band, right], axis=2)
+    band_out = residual_depthwise_conv(seq, w, token_padding="valid")
+    cls_out = None
+    if left_extra is not None:
+        cseq = jnp.concatenate(
+            [
+                jnp.zeros_like(v_band[:, :, :r]),
+                left_extra.astype(v_band.dtype),
+                v_band[:, :, :r],
+            ],
+            axis=2,
+        )
+        c = residual_depthwise_conv(cseq, w, token_padding="valid")
+        cls_out = lax.psum(
+            jnp.where(me == 0, c, jnp.zeros_like(c)), axis_name
+        )
+    return band_out, cls_out
 
 
 def dense_attention(
@@ -530,11 +596,25 @@ class ExactSelfAttention(nn.Module):
     Pallas flash kernel on TPU — checkpoint-interchangeable with Nyström.
 
     ``seq_axis``: sequence-parallel mode for TransLayer-family models under
-    shard_map.  The INPUT is the full (seq-replicated) token array; each
-    device projects and attends only its own query band (1/sp of the O(N²)
-    work and of the qkv/out projections), K/V bands all-gather over ICI, and
-    the output bands gather back to the full array.  Numerics match the
-    single-device exact path (same per-row online-softmax sweep order)."""
+    shard_map.  Two layouts, selected by ``sp_mode``:
+
+    * ``"gather"`` (default): the INPUT is the full (seq-replicated) token
+      array; each device projects and attends only its own query band (1/sp
+      of the O(N²) work and of the qkv/out projections), K/V bands
+      all-gather over ICI, and the output bands gather back to the full
+      array.  Per-device memory is O(N).
+    * ``"ring"``: shard-in/shard-out — the INPUT is this device's token
+      band ``[B, N/sp, D]`` and the output stays a band; K/V chunks rotate
+      via :func:`...ring_self_attention` (``ppermute``) and the residual
+      depthwise conv runs with k//2-token halo exchanges — **nothing of
+      size N ever materializes on one device** (the 100k-patch-bag layout).
+      An optional replicated ``cls`` token rides along: its K/V enter the
+      ring exactly once (masked slot owned by device 0) and every device
+      computes the identical cls query row.
+
+    Numerics match the single-device exact path (same per-row
+    online-softmax sweep order; the ring cls row differs only by the
+    logsumexp merge order, broadcast from device 0 by the caller)."""
 
     dim: int
     dim_head: int = 64
@@ -543,9 +623,11 @@ class ExactSelfAttention(nn.Module):
     residual_conv_kernel: int = 33
     dropout: float = 0.0
     seq_axis: object = None  # Optional[str]
+    sp_mode: str = "gather"  # "gather" | "ring"
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 has_cls: bool = False):
         from .flash_attention import flash_attention
 
         b, n, _ = x.shape
@@ -553,6 +635,8 @@ class ExactSelfAttention(nn.Module):
         inner = h * self.dim_head
 
         if self.seq_axis is not None:
+            if self.sp_mode == "ring":
+                return self._ring_forward(x, mask, deterministic, has_cls)
             return self._sp_forward(x, mask, deterministic)
 
         qkv = TorchLinear(inner * 3, use_bias=False, name="to_qkv")(x)
@@ -628,6 +712,78 @@ class ExactSelfAttention(nn.Module):
             )
         return gather_tokens_replicated(out, ax, axis=1)[:, :n]
 
+    def _ring_forward(self, x, mask, deterministic, has_cls):
+        """Shard-in/shard-out body: ``x`` is ``[cls?; band]`` local tokens
+        ([B, nb(+1), D]); K/V rotate around the ring, the residual conv uses
+        halo exchanges, and the output keeps the band layout.  Same
+        parameter names/shapes as the single-device path (checkpoints
+        interchange)."""
+        from jax import lax
+
+        from ..parallel.sequence import ring_self_attention
+
+        b, nc, _ = x.shape
+        h, inner = self.heads, self.heads * self.dim_head
+        ax = self.seq_axis
+        me = lax.axis_index(ax)
+        nb = nc - 1 if has_cls else nc
+        if mask is None:
+            mask = jnp.ones((b, nb), bool)
+
+        qkv = TorchLinear(inner * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, nc, h, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        if has_cls:
+            # the cls K/V slot participates exactly once globally: only
+            # device 0's copy is valid in the ring
+            m_chunk = jnp.concatenate(
+                [jnp.broadcast_to(me == 0, (b, 1)), mask], axis=1
+            )
+        else:
+            m_chunk = mask
+        v_raw = v
+        v = v * m_chunk[:, None, :, None]
+        out = ring_self_attention(
+            q, k, v, m_chunk, scale=self.dim_head**-0.5, axis_name=ax
+        )
+
+        if self.residual:
+            w = res_conv_param(self, h, self.residual_conv_kernel)
+            if has_cls:
+                band_res, cls_res = halo_depthwise_conv(
+                    v[:, :, 1:], w, ax, left_extra=v_raw[:, :, :1]
+                )
+                out = out + jnp.concatenate([cls_res, band_res], axis=2).astype(
+                    out.dtype
+                )
+            else:
+                band_res, _ = halo_depthwise_conv(v, w, ax)
+                out = out + band_res.astype(out.dtype)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, nc, inner)
+        out = TorchLinear(self.dim, name="to_out")(out)
+        if self.dropout > 0.0 and not deterministic:
+            base = self.make_rng("dropout")
+            band_drop = nn.Dropout(rate=self.dropout)(
+                out[:, 1:] if has_cls else out,
+                deterministic=False,
+                rng=jax.random.fold_in(base, me + 1),
+            )
+            if has_cls:
+                # the cls row must draw the SAME mask on every device to
+                # stay replicated
+                cls_drop = nn.Dropout(rate=self.dropout)(
+                    out[:, :1], deterministic=False, rng=base
+                )
+                out = jnp.concatenate([cls_drop, band_drop], axis=1)
+            else:
+                out = band_drop
+        return out
+
 
 class TransLayer(nn.Module):
     """``x + Attention(LN(x))`` with heads=8, dim_head=dim/8 — the standard
@@ -639,16 +795,45 @@ class TransLayer(nn.Module):
     dim: int = 512
     dropout: float = 0.1
     impl: str = "auto"
-    # sequence parallelism: tokens stay seq-replicated in/out; the attention
-    # runs query-banded with all-gather-KV (ExactSelfAttention._sp_forward).
+    # sequence parallelism: with sp_mode="gather" tokens stay seq-replicated
+    # in/out (the attention runs query-banded with all-gather-KV,
+    # ExactSelfAttention._sp_forward); with sp_mode="ring"
+    # (TPU.SP_ATTENTION=ring) the layer is SHARD-IN/SHARD-OUT — ``x`` is
+    # this device's [B, N/sp, D] token band (``mask`` the band mask), an
+    # optional replicated ``cls`` token threads separately, and the call
+    # returns ``(band, cls)`` with O(N/sp) per-device activations.
     # Nyström's landmark pooling doesn't decompose over shards, so a seq
     # axis always uses the EXACT kernel (documented deviation: exact ≥
     # approximate; the non-sp path keeps reference-parity Nyström).
     seq_axis: object = None  # Optional[str]
+    sp_mode: str = "gather"  # "gather" | "ring"
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True, cls=None):
         impl = self.impl if self.impl != "auto" else _DEFAULT_ATTENTION_IMPL
+        if cls is not None and not (
+            self.seq_axis is not None and self.sp_mode == "ring"
+        ):
+            raise ValueError("cls threading is a ring-mode (sp_mode='ring') "
+                             "contract; prepend it to x otherwise")
+        if self.seq_axis is not None and self.sp_mode == "ring":
+            xin = x if cls is None else jnp.concatenate([cls, x], axis=1)
+            y = nn.LayerNorm(epsilon=1e-5)(xin)
+            y = ExactSelfAttention(
+                dim=self.dim,
+                dim_head=self.dim // 8,
+                heads=8,
+                residual=True,
+                dropout=self.dropout,
+                seq_axis=self.seq_axis,
+                sp_mode="ring",
+                name="attn",
+            )(y, mask=mask, deterministic=deterministic,
+              has_cls=cls is not None)
+            out = xin + y
+            if cls is None:
+                return out
+            return out[:, 1:], out[:, :1]
         y = nn.LayerNorm(epsilon=1e-5)(x)
         if self.seq_axis is not None:
             y = ExactSelfAttention(

@@ -226,15 +226,46 @@ class LRBilinearFusion(nn.Module):
 
 class PPEG(nn.Module):
     """Pyramid positional encoding: 7/5/3 depthwise convs over the token
-    grid, cls token excluded (reference ``blocks.py:271-285``)."""
+    grid, cls token excluded (reference ``blocks.py:271-285``).
+
+    ``seq_axis``: shard-in/shard-out mode (the ``TPU.SP_ATTENTION=ring``
+    layout) — ``x`` is this device's band of GRID tokens (no cls;
+    ``H/sp`` contiguous grid rows, ``[B, H·W/sp, C]``); 3-row halos
+    exchange with ring neighbors via ``ppermute`` and the convs run VALID
+    on the haloed slab — numerics identical to the SAME-padded convs over
+    the full grid, with O(H·W/sp) per-device memory."""
 
     dim: int = 512
+    seq_axis: object = None  # Optional[str]
 
     @nn.compact
     def __call__(self, x, H: int, W: int):
         B, _, C = x.shape
-        cls_token, feat = x[:, :1], x[:, 1:]
-        grid = feat.transpose(0, 2, 1).reshape(B, C, H, W)
+        if self.seq_axis is None:
+            cls_token, feat = x[:, :1], x[:, 1:]
+            grid = feat.transpose(0, 2, 1).reshape(B, C, H, W)
+        else:
+            sp = jax.lax.axis_size(self.seq_axis)
+            if H % sp != 0 or H // sp < 3:
+                raise ValueError(
+                    f"PPEG ring mode needs grid rows divisible by the seq "
+                    f"axis with >= 3 rows per device (H={H}, sp={sp})"
+                )
+            hl = H // sp
+            grid = x.transpose(0, 2, 1).reshape(B, C, hl, W)
+            # halo rows: device d-1's bottom 3 rows sit ABOVE this band,
+            # device d+1's top 3 rows BELOW; edge devices receive zeros
+            # (= the convs' SAME zero padding)
+            above = jax.lax.ppermute(
+                grid[:, :, -3:], self.seq_axis,
+                [(i, i + 1) for i in range(sp - 1)],
+            )
+            below = jax.lax.ppermute(
+                grid[:, :, :3], self.seq_axis,
+                [(i, i - 1) for i in range(1, sp)],
+            )
+            slab = jnp.concatenate([above, grid, below], axis=2)
+            hloc = hl
 
         def dwconv(name: str, k: int):
             fan_in = k * k
@@ -249,19 +280,29 @@ class PPEG(nn.Module):
                 lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
                 (C,),
             )
+            if self.seq_axis is None:
+                src = grid.astype(jnp.float32)
+                row_pad = (k // 2, k // 2)
+            else:
+                r = k // 2
+                src = slab[:, :, 3 - r : 3 + hloc + r].astype(jnp.float32)
+                row_pad = (0, 0)
             y = jax.lax.conv_general_dilated(
-                grid.astype(jnp.float32),
+                src,
                 w.astype(jnp.float32),
                 window_strides=(1, 1),
-                padding=((k // 2, k // 2), (k // 2, k // 2)),
+                padding=(row_pad, (k // 2, k // 2)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
                 feature_group_count=C,
             )
             return (y + bias.astype(jnp.float32)[None, :, None, None]).astype(x.dtype)
 
         out = dwconv("proj", 7) + grid + dwconv("proj1", 5) + dwconv("proj2", 3)
-        out = out.reshape(B, C, H * W).transpose(0, 2, 1)
-        return jnp.concatenate([cls_token, out], axis=1)
+        if self.seq_axis is None:
+            out = out.reshape(B, C, H * W).transpose(0, 2, 1)
+            return jnp.concatenate([cls_token, out], axis=1)
+        out = out.reshape(B, C, (H // jax.lax.axis_size(self.seq_axis)) * W)
+        return out.transpose(0, 2, 1)
 
 
 def square_pad(features: jnp.ndarray, valid: Optional[jnp.ndarray] = None):

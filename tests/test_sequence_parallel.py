@@ -382,6 +382,200 @@ def test_flash_partial_merge_matches_full():
         )
 
 
+def test_ring_translayer_shard_io_matches_single_device(mesh):
+    """TPU.SP_ATTENTION=ring at the TransLayer level (VERDICT r3 item 4):
+    shard-in/shard-out — the layer consumes and returns the [B, N/sp, D]
+    token band (cls threaded separately as a replicated row), K/V rotate
+    via ppermute and the residual conv runs with halo exchanges.  Value AND
+    parameter gradients match the single-device exact TransLayer."""
+    from imp_tpu.ops.attention import TransLayer
+
+    b, n, dim = 2, 256, 64
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(b, n, dim)), jnp.float32)
+    cls = jnp.asarray(rng.normal(size=(b, 1, dim)), jnp.float32)
+    valid = jnp.asarray(np.arange(n)[None, :] < np.array([[150], [256]]))
+
+    single = TransLayer(dim=dim, impl="flash")
+    x_full = jnp.concatenate([cls, x], axis=1)
+    m_full = jnp.concatenate([jnp.ones((b, 1), bool), valid], axis=1)
+    params = single.init(
+        {"params": jax.random.PRNGKey(0)}, x_full, mask=m_full,
+        deterministic=True,
+    )
+
+    ring_layer = TransLayer(dim=dim, seq_axis="seq", sp_mode="ring")
+
+    def ring_fn(p, xb, mb, c):
+        band, cl = ring_layer.apply(p, xb, mask=mb, deterministic=True,
+                                    cls=c)
+        me = jax.lax.axis_index("seq")
+        cl = jax.lax.psum(jnp.where(me == 0, cl, jnp.zeros_like(cl)), "seq")
+        return band, cl
+
+    sharded = jax.jit(jax.shard_map(
+        ring_fn, mesh=mesh,
+        in_specs=(P(), P(None, "seq", None), P(None, "seq"), P()),
+        out_specs=(P(None, "seq", None), P()),
+    ))
+    want = single.apply(params, x_full, mask=m_full, deterministic=True)
+    got_band, got_cls = sharded(params, x, valid, cls)
+    np.testing.assert_allclose(np.asarray(got_band), np.asarray(want[:, 1:]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_cls), np.asarray(want[:, :1]),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss_single(p):
+        o = single.apply(p, x_full, mask=m_full, deterministic=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ring(p):
+        band, cl = jax.shard_map(
+            ring_fn, mesh=mesh,
+            in_specs=(P(), P(None, "seq", None), P(None, "seq"), P()),
+            out_specs=(P(None, "seq", None), P()),
+        )(p, x, valid, cls)
+        o = jnp.concatenate([cl, band], axis=1)
+        return jnp.sum(o * jnp.cos(o))
+
+    assert float(jax.jit(loss_ring)(params)) == pytest.approx(
+        float(jax.jit(loss_single)(params)), rel=1e-5
+    )
+    g_w = jax.jit(jax.grad(loss_single))(params)
+    g_g = jax.jit(jax.grad(loss_ring))(params)
+    for gw, gg in zip(jax.tree_util.tree_leaves(g_w),
+                      jax.tree_util.tree_leaves(g_g)):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_transmil_ring_module_parity_and_no_full_size_activations(mesh):
+    """TransMIL_MODULE sp_mode='ring' (VERDICT r3 item 4 done-criterion):
+
+    1. eval-forward parity vs the single-device module on IDENTICAL params
+       (checkpoints interchange — same names/shapes), and
+    2. **no [B, N, D] unsharded intermediate exists**: the compiled
+       per-device HLO contains ZERO tensors with the full token dimension
+       (3600/3601 — the gather layout has hundreds), and peak temp memory
+       is a fraction of the gather layout's."""
+    import re
+
+    import imp_tpu.ops.attention as A
+    from imp_tpu.models.mil import TransMIL_MODULE
+
+    b, fd = 2, 32
+    rng = np.random.default_rng(33)
+
+    A.set_default_attention_impl("flash")
+    try:
+        # -- parity at small N (side 8, sp=2 on a (4,2) mesh) --------------
+        mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                     ("data", "seq"))
+        N = 64
+        xp = jnp.asarray(rng.normal(size=(b, N, fd)), jnp.float32)
+        vp = jnp.asarray(np.arange(N)[None, :] < np.array([[40], [64]]))
+        single = TransMIL_MODULE(path_input_dim=fd)
+        ringm = TransMIL_MODULE(path_input_dim=fd, seq_axis="seq",
+                                sp_mode="ring")
+        params = single.init({"params": jax.random.PRNGKey(0)}, xp,
+                             valid=vp, deterministic=True)
+        want = single.apply(params, xp, valid=vp, deterministic=True)
+        got = jax.jit(jax.shard_map(
+            lambda p, xb, vb: ringm.apply(p, xb, valid=vb,
+                                          deterministic=True),
+            mesh=mesh2,
+            in_specs=(P(), P(None, "seq", None), P(None, "seq")),
+            out_specs=P(),
+        ))(params, xp, vp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+        # -- memory: N=3600 (side 60, sp=4), ring vs gather ----------------
+        N = 3600
+        xp = jnp.asarray(rng.normal(size=(b, N, fd)), jnp.float32)
+        vp = jnp.asarray(np.arange(N)[None, :] < np.array([[2000], [3600]]))
+        gatherm = TransMIL_MODULE(path_input_dim=fd, seq_axis="seq",
+                                  sp_mode="gather")
+
+        def compiled(m):
+            return jax.jit(jax.shard_map(
+                lambda p, xb, vb: m.apply(p, xb, valid=vb,
+                                          deterministic=True),
+                mesh=mesh,
+                in_specs=(P(), P(None, "seq", None), P(None, "seq")),
+                out_specs=P(),
+            )).lower(params, xp, vp).compile()
+
+        ring_c, gather_c = compiled(ringm), compiled(gatherm)
+        full_dim = re.compile(r"[,\[ (]360[01][,\]) ]")
+        ring_hits = len(full_dim.findall(ring_c.as_text()))
+        gather_hits = len(full_dim.findall(gather_c.as_text()))
+        assert gather_hits > 0  # the detector sees the gather layout's N
+        assert ring_hits == 0, (
+            f"ring layout materialized {ring_hits} full-token-dim tensors"
+        )
+        ring_tmp = ring_c.memory_analysis().temp_size_in_bytes
+        gather_tmp = gather_c.memory_analysis().temp_size_in_bytes
+        assert ring_tmp < 0.5 * gather_tmp, (ring_tmp, gather_tmp)
+    finally:
+        A.set_default_attention_impl("nystrom")
+
+
+def test_transmil_ring_trainer_end_to_end(tmp_path):
+    """TransMIL trains under TPU.MESH_AXES=("data","seq") with
+    TPU.SP_ATTENTION=ring: bag activations stay [N/sp] per device through
+    the whole module; eval matches the single-device flash trainer and a
+    training epoch reaches a finite metric."""
+    from imp_tpu.config import get_cfg_default
+    from imp_tpu.data import synthetic
+    from imp_tpu.engine import build_trainer
+    from imp_tpu.ops.attention import set_default_attention_impl
+
+    root = str(tmp_path / "ringdata")
+    synthetic.materialize(root, num_slides=16, bag_min=16, bag_max=48,
+                          feat_dim=32, num_genes=120, group_size=15, seed=0)
+
+    def _cfg(out, axes, shape, attention, sp_attention):
+        cfg = get_cfg_default()
+        cfg.OUTPUT_DIR = str(tmp_path / out)
+        cfg.SEED = 1
+        cfg.DATASET.ROOT = root
+        cfg.DATASET.NAME = "TCGA_Glioma_S_UMEML"
+        cfg.DATASET.FEATURE_NAME = "features_clip_vit_b16"
+        cfg.DATASET.FOLD = 1
+        cfg.DATASET.BAG_PAD = 64  # 8x8 grid; sp=2 -> 4 rows/device
+        cfg.DATASET.PATH.DIM = 32
+        cfg.TASK.NAME = "Survival"
+        cfg.TASK.LOSS = "nllsurvloss"
+        cfg.TEST.EVALUATOR = "Survival"
+        cfg.DATALOADER.TRAIN.BATCH_SIZE = 4
+        cfg.DATALOADER.TEST.BATCH_SIZE = 4
+        cfg.OPTIM.MAX_EPOCH = 1
+        cfg.TRAINER.NAME = "TransMIL"
+        cfg.TPU.MESH_AXES = axes
+        cfg.TPU.MESH_SHAPE = shape
+        cfg.TPU.ATTENTION = attention
+        cfg.TPU.SP_ATTENTION = sp_attention
+        cfg.TPU.PREFETCH = 0
+        return cfg
+
+    try:
+        t_ring = build_trainer(
+            _cfg("tm_ring", ("data", "seq"), (4, 2), "auto", "ring"))
+        assert t_ring.sp_axis == "seq"
+        t_dp = build_trainer(
+            _cfg("tm_dp1", ("data",), (-1,), "flash", "gather"))
+
+        r_ring = t_ring.test()
+        r_dp = t_dp.test()
+        assert r_ring == pytest.approx(r_dp, abs=1e-6)
+
+        result = t_ring.train()
+        assert np.isfinite(result)
+    finally:
+        set_default_attention_impl("nystrom")
+
+
 def test_sp_self_attention_matches_dense(mesh):
     """Sequence-sharded exact self-attention (all-gather-KV over the flash
     kernel; dense fallback on CPU) — value and gradient vs single-device."""
