@@ -183,7 +183,10 @@ class MBTRAIN(TrainerBase):
         else:
             self.main_tx = build_optimizer(cfg.OPTIM, updates_per_epoch)
             state = {"params": params, "opt_state": self.main_tx.init(params)}
-        self.state = jax.device_put(state)
+        # replicate onto the mesh (NOT a bare device_put: params are already
+        # global replicated arrays, which on a multi-process mesh are not
+        # fully addressable and reject sharding-less placement)
+        self.state = replicate_tree(state, self.mesh)
         self._build_steps()
 
     def _build_steps(self):
@@ -658,12 +661,7 @@ class MBTRAIN(TrainerBase):
     def run_epoch(self, train_gan: bool = False, replace_ratio: float = 0.0):
         import time as _time
 
-        # truncate importance dumps (ref trainer.py:617-618)
-        self._imp_files = {}
-        for mod in ("path", "omic"):
-            fp = osp.join(self.output_dir, f"train_{mod}.txt")
-            open(fp, "w").close()
-            self._imp_files[mod] = fp
+        self._open_imp_files("train")
 
         losses = MetricMeter()
         batch_time = AverageMeter()
@@ -823,11 +821,7 @@ class MBTRAIN(TrainerBase):
             num_samples, num_selected, replace=False
         )
 
-        self._imp_files = {}
-        for mod in ("path", "omic"):
-            fp = osp.join(self.output_dir, f"{split}_{mod}.txt")
-            open(fp, "w").close()
-            self._imp_files[mod] = fp
+        self._open_imp_files(split)
 
         print(f"Evaluate on the *{split}* set")
         batch_start = 0
@@ -889,11 +883,7 @@ class MBTRAIN(TrainerBase):
             num_samples, num_selected, replace=False
         )
 
-        self._imp_files = {}
-        for mod in ("path", "omic"):
-            fp = osp.join(self.output_dir, f"test_new_{mod}.txt")
-            open(fp, "w").close()
-            self._imp_files[mod] = fp
+        self._open_imp_files("test_new")
 
         print(f"Evaluate on the *external test* set ({num_samples} samples)")
         batch_start = 0
@@ -932,6 +922,20 @@ class MBTRAIN(TrainerBase):
     # ------------------------------------------------------------------ #
     # interpretability dumps                                               #
     # ------------------------------------------------------------------ #
+    def _open_imp_files(self, prefix: str) -> None:
+        """Truncate + register the per-split importance dumps (ref
+        ``trainer.py:617-618``).  Primary-only on pods: every process
+        computes identical rows, so non-primary writers would duplicate
+        them on a shared FS (``_dump_importance``/``_plot_importance``
+        no-op when the registry stays empty)."""
+        self._imp_files = {}
+        if jax.process_index() != 0:
+            return
+        for mod in ("path", "omic"):
+            fp = osp.join(self.output_dir, f"{prefix}_{mod}.txt")
+            open(fp, "w").close()
+            self._imp_files[mod] = fp
+
     def _dump_importance(self, split: str, imp_path, imp_omic):
         files = getattr(self, "_imp_files", None)
         if not files:
@@ -950,6 +954,8 @@ class MBTRAIN(TrainerBase):
         inside the compiled step, unlike the reference."""
         if getattr(self, "sp_axis", None):
             return  # similarity sowing isn't wired through shard_map yet
+        if jax.process_index() != 0:
+            return  # pods: PNG writers are primary-only (shared FS)
         try:
             import matplotlib
 
@@ -1055,4 +1061,6 @@ class MBTRAIN(TrainerBase):
         }
 
     def load_state_dict(self, state):
-        self.state = jax.device_put(state["state"])
+        # restored checkpoints are host numpy trees; replicate them onto the
+        # mesh (pod-safe — bare device_put rejects multi-process meshes)
+        self.state = replicate_tree(state["state"], self.mesh)

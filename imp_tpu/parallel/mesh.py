@@ -28,9 +28,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_initialize_distributed() -> None:
-    """Initialize jax.distributed when launched on a multi-host pod."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    """Initialize jax.distributed when launched on a multi-host pod.
+
+    No-op unless ``JAX_COORDINATOR_ADDRESS`` is set.  On TPU pods (and other
+    auto-detectable clusters — SLURM/OpenMPI/K8s) ``jax.distributed
+    .initialize()`` discovers process count/id itself; for manual launches
+    (e.g. the 2-process CPU cluster in ``tests/test_multiprocess.py``) set
+    ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID`` explicitly — jax 0.9 has no
+    plain env-var cluster detector."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(
@@ -102,7 +115,15 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
 def replicate_tree(tree, mesh: Mesh):
     repl = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)
+
+    def _put(x):
+        # already-placed global arrays pass through: on a multi-process mesh
+        # they are not fully addressable and device_put would reject them
+        if isinstance(x, jax.Array) and x.sharding == repl:
+            return x
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(_put, tree)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -1,0 +1,121 @@
+"""Worker process for tests/test_multiprocess.py.
+
+Runs one member of a REAL 2-process ``jax.distributed`` CPU cluster
+(4 virtual devices per process, 8 global) and drives the multi-host code
+paths that single-process tests can never reach:
+
+* ``maybe_initialize_distributed`` env-var bootstrap (parallel/mesh.py)
+* ``shard_batch``'s ``make_array_from_process_local_data`` branch
+* ``fetch_global``'s ``process_allgather`` branch (sharded eval outputs)
+* primary-only checkpoint write + ``sync_global_devices`` barrier
+  (utils/checkpoint.py) and the cross-process resume read
+* primary-only logger/importance-dump gating
+* ``host_local_slice`` per-host batch slicing
+
+Reference contract being pod-ified: the generic eval loop
+``/root/reference/medmm/engine/trainer.py:550-581`` (single-GPU there).
+
+Usage:  python tests/mp_worker.py <data_root> <out_dir> <result_json>
+with JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set.
+"""
+
+import json
+import os
+import os.path as osp
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/imp_tpu_jax_cache")
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+from imp_tpu.parallel import maybe_initialize_distributed  # noqa: E402
+
+maybe_initialize_distributed()
+
+
+def _cfg(root: str, out_dir: str, max_epoch: int):
+    from imp_tpu.config import get_cfg_default
+
+    cfg = get_cfg_default()
+    cfg.OUTPUT_DIR = out_dir
+    cfg.SEED = 1
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.NAME = "TCGA_Glioma_S_UMEML"
+    cfg.DATASET.FEATURE_NAME = "features_clip_vit_b16"
+    cfg.DATASET.FOLD = 1
+    cfg.DATASET.BAG_PAD = 64
+    cfg.DATASET.PATH.DIM = 32
+    cfg.TASK.NAME = "Survival"
+    cfg.TASK.LOSS = "nllsurvloss_new"
+    cfg.TEST.EVALUATOR = "Survival_UMEML"
+    cfg.TEST.NO_TEST = True
+    cfg.DATALOADER.TRAIN.BATCH_SIZE = 8
+    cfg.DATALOADER.TEST.BATCH_SIZE = 8
+    cfg.OPTIM.MAX_EPOCH = max_epoch
+    cfg.MODEL.NAME = "umeml_gan"
+    cfg.MODEL.HIDDEN_DIM = 64
+    cfg.MODEL.FUSION = "concat"
+    cfg.MODEL.UMEML.PROTOTYPES = 6
+    cfg.MODEL.UMEML.REGISTERS = 3
+    cfg.TRAINER.NAME = "MBTRAIN"
+    cfg.TPU.PREFETCH = 0
+    cfg.TPU.MESH_SHAPE = (-1,)  # all 8 GLOBAL devices
+    return cfg
+
+
+def main(root: str, out_dir: str, result_path: str) -> None:
+    from imp_tpu.engine import build_trainer
+    from imp_tpu.parallel import host_local_slice
+
+    pid = jax.process_index()
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4, jax.local_device_count()
+    start, size = host_local_slice(8)
+    assert (start, size) == (pid * 4, 4), (start, size)
+
+    # ---- phase A: train 1 epoch on the 8-device (2-process) mesh ----
+    trainer = build_trainer(_cfg(root, out_dir, max_epoch=1))
+    assert int(trainer.mesh.shape["data"]) == 8
+    trainer.train()
+    val = float(trainer.test(split="val"))
+
+    ckpt_dir = osp.join(out_dir, "model")
+    # the barrier in save_checkpoint guarantees visibility on BOTH hosts
+    assert osp.exists(osp.join(ckpt_dir, "model.ckpt-1")), os.listdir(ckpt_dir)
+    assert osp.exists(osp.join(ckpt_dir, "checkpoint"))
+    # primary-only importance dumps: written once, by process 0 only
+    imp = osp.join(out_dir, "val_path.txt")
+    assert osp.exists(imp)  # shared FS: both processes see the one file
+
+    # ---- phase B: fresh trainer resumes from the shared checkpoint ----
+    trainer2 = build_trainer(_cfg(root, out_dir, max_epoch=2))
+    trainer2.train()
+    assert trainer2.start_epoch == 1, trainer2.start_epoch
+    assert osp.exists(osp.join(ckpt_dir, "model.ckpt-2"))
+    val2 = float(trainer2.test(split="val"))
+
+    with open(result_path, "w") as f:
+        json.dump(
+            {
+                "pid": pid,
+                "process_count": jax.process_count(),
+                "val": val,
+                "val2": val2,
+                "resumed_start_epoch": trainer2.start_epoch,
+            },
+            f,
+        )
+    print(f"worker {pid} OK: val={val:.4f} val2={val2:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3])

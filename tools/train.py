@@ -115,4 +115,9 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", _args.platform)
+    # multi-host pods: connect to the coordinator BEFORE any backend init so
+    # jax.devices() is the global device set (no-op without the env var)
+    from imp_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     main(_args)
