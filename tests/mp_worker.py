@@ -79,14 +79,41 @@ def main(root: str, out_dir: str, result_path: str) -> None:
     assert jax.process_count() == 2, jax.process_count()
     assert jax.device_count() == 8, jax.device_count()
     assert jax.local_device_count() == 4, jax.local_device_count()
+
+    # establish the 8-device Gloo clique NOW, while cross-process skew is
+    # still tiny: under heavy host contention the first collective's
+    # key-value rendezvous has a 30 s deadline that minutes of skewed
+    # compilation can miss (seen in full-suite runs)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mp_worker_start")
+
+    def barrier(name: str) -> None:
+        """Coordination-service (gRPC) barrier — NOT a device collective.
+
+        Each phase below jit-compiles programs with NEW collective patterns,
+        and every new Gloo communicator has a hardcoded 30 s key-value
+        rendezvous deadline.  Host-level barriers between phases keep the
+        two processes' compile starts aligned so their devices reach each
+        new rendezvous within seconds of each other even on an
+        oversubscribed 1-core host (a real pod has a core per process and
+        never sees minutes of compile skew)."""
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(
+            name, timeout_in_ms=1_800_000
+        )
     start, size = host_local_slice(8)
     assert (start, size) == (pid * 4, 4), (start, size)
 
     # ---- phase A: train 1 epoch on the 8-device (2-process) mesh ----
     trainer = build_trainer(_cfg(root, out_dir, max_epoch=1))
     assert int(trainer.mesh.shape["data"]) == 8
+    barrier("built")
     trainer.train()
+    barrier("trained")
     val = float(trainer.test(split="val"))
+    barrier("evaled")
 
     ckpt_dir = osp.join(out_dir, "model")
     # the barrier in save_checkpoint guarantees visibility on BOTH hosts
@@ -98,9 +125,11 @@ def main(root: str, out_dir: str, result_path: str) -> None:
 
     # ---- phase B: fresh trainer resumes from the shared checkpoint ----
     trainer2 = build_trainer(_cfg(root, out_dir, max_epoch=2))
+    barrier("built2")
     trainer2.train()
     assert trainer2.start_epoch == 1, trainer2.start_epoch
     assert osp.exists(osp.join(ckpt_dir, "model.ckpt-2"))
+    barrier("trained2")
     val2 = float(trainer2.test(split="val"))
 
     with open(result_path, "w") as f:

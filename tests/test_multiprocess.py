@@ -42,38 +42,47 @@ def test_two_process_train_eval_checkpoint(tmp_path):
         root, num_slides=24, bag_min=16, bag_max=48, feat_dim=32,
         num_genes=120, group_size=15, seed=0,
     )
-    out_dir = str(tmp_path / "out")  # SHARED output dir (pod shared-FS model)
-    port = _free_port()
+    # up to 2 attempts: Gloo's 30 s first-collective rendezvous can still
+    # time out on a heavily-contended 1-core host (pure scheduling skew,
+    # not a code path under test)
+    for attempt in range(2):
+        out_dir = str(tmp_path / f"out{attempt}")  # SHARED dir (pod model)
+        port = _free_port()
 
-    procs, logs, results = [], [], []
-    for pid in range(2):
-        env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)  # worker sets its own device count
-        env.update(
-            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(pid),
-            JAX_PLATFORMS="",  # let the worker's jax.config force cpu
-        )
-        res = str(tmp_path / f"result_{pid}.json")
-        results.append(res)
-        log = open(str(tmp_path / f"worker_{pid}.log"), "w")
-        logs.append(log)
-        procs.append(subprocess.Popen(
-            [sys.executable, osp.join(_REPO, "tests", "mp_worker.py"),
-             root, out_dir, res],
-            cwd=_REPO, env=env, stdout=log, stderr=subprocess.STDOUT,
-        ))
+        procs, logs, results = [], [], []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)  # worker sets its own device count
+            env.update(
+                JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                JAX_NUM_PROCESSES="2",
+                JAX_PROCESS_ID=str(pid),
+                JAX_PLATFORMS="",  # let the worker's jax.config force cpu
+            )
+            res = str(tmp_path / f"result_{pid}.json")
+            results.append(res)
+            log = open(str(tmp_path / f"worker_{attempt}_{pid}.log"), "w")
+            logs.append(log)
+            procs.append(subprocess.Popen(
+                [sys.executable, osp.join(_REPO, "tests", "mp_worker.py"),
+                 root, out_dir, res],
+                cwd=_REPO, env=env, stdout=log, stderr=subprocess.STDOUT,
+            ))
 
-    try:
-        for p in procs:
-            assert p.wait(timeout=2100) == 0, _tail(tmp_path)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-        for log in logs:
-            log.close()
+        try:
+            codes = [p.wait(timeout=2100) for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            for log in logs:
+                log.close()
+        if all(c == 0 for c in codes):
+            break
+        tail = _tail(tmp_path, attempt)
+        if attempt == 0 and "Gloo" in tail:
+            continue  # rendezvous-timeout flake: one retry
+        assert False, tail
 
     r0 = json.load(open(results[0]))
     r1 = json.load(open(results[1]))
@@ -87,10 +96,10 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     assert 0.0 < r0["val"] <= 100.0
 
 
-def _tail(tmp_path):
+def _tail(tmp_path, attempt=0):
     out = []
     for pid in range(2):
-        fp = str(tmp_path / f"worker_{pid}.log")
+        fp = str(tmp_path / f"worker_{attempt}_{pid}.log")
         if osp.exists(fp):
             with open(fp) as f:
                 out.append(f"--- worker {pid} ---\n" + "".join(
