@@ -99,10 +99,13 @@ def test_generate_test_labels_survival(tmp_path, monkeypatch):
     from imp_tpu.data.labeling import DAYS_IN_MONTH
 
     meta = tmp_path / "cptac.csv"
+    # CPTAC workbook column names (WSI_ID / OS / event); enough uncensored
+    # rows that the reference's 4-quantile binning is well-defined
     pd.DataFrame({
-        "case_id": ["C1 ", "C2"],  # stray whitespace must be stripped
-        "OS_days": [365.0, 30.4],
-        "OS_event": [1, 0],        # event=death -> censorship flips
+        "WSI_ID": [f"C{i} " if i == 0 else f"C{i}" for i in range(10)],
+        "OS": [365.0, 30.4, 100.0, 700.0, 1200.0, 250.0, 90.0, 400.0,
+               800.0, 60.0],
+        "event": [1, 0, 1, 1, 1, 1, 1, 1, 1, 0],  # death=1 -> censorship flips
     }).to_csv(meta, index=False)
     out = tmp_path / "labels"
 
@@ -111,11 +114,15 @@ def test_generate_test_labels_survival(tmp_path, monkeypatch):
               monkeypatch)
 
     df = pd.read_csv(out / "survival" / "survival_test.csv")
-    assert list(df["patients"]) == ["C1", "C2"]
+    assert list(df["patients"]) == [f"C{i}" for i in range(10)]  # stripped
     np.testing.assert_allclose(
-        df["survival_months"], [round(365.0 / DAYS_IN_MONTH, 2),
-                                round(30.4 / DAYS_IN_MONTH, 2)])
-    assert list(df["censorship"]) == [0, 1]
+        df["survival_months"][:2], [round(365.0 / DAYS_IN_MONTH, 2),
+                                    round(30.4 / DAYS_IN_MONTH, 2)])
+    assert list(df["censorship"][:2]) == [0, 1]
+    # reference Survival_T binning: 4 quantile bins over the 8 uncensored
+    # rows, every row assigned (clipped to the global min/max)
+    assert set(df["labels"]) == {0, 1, 2, 3}
+    assert df["labels"].notna().all()
 
 
 def test_extract_prototypes_from_embeddings(tmp_path, monkeypatch):
