@@ -4,7 +4,7 @@
 from __future__ import annotations
 
 from . import TRAINER_REGISTRY
-from .trainer import StandardTrainer
+from .trainer import StandardTrainer, validated_sp_mode
 from ..models.nets import ABMIL_NET, SNN_NET, SNNM_NET, TransMIL_NET
 
 
@@ -32,7 +32,7 @@ class TransMIL(StandardTrainer):
             num_classes=self.network_num_classes(),
             path_input_dim=cfg.DATASET.PATH.DIM,
             seq_axis=getattr(self, "_net_seq_axis", None),
-            sp_mode=cfg.TPU.SP_ATTENTION,
+            sp_mode=validated_sp_mode(cfg),
         )
 
 

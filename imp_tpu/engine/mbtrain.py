@@ -49,6 +49,7 @@ from .trainer import (
     compute_dtype_of,
     device_batch,
     sp_batch_specs,
+    validated_sp_mode,
 )
 from ..losses import cca_loss as cca_loss_fn
 from ..losses import similarity_alignment_loss
@@ -107,13 +108,18 @@ class MBTRAIN(TrainerBase):
             "seq" if self.is_gan and int(self.mesh.shape.get("seq", 1)) > 1
             else None
         )
+        # TPU.SP_ATTENTION=ring keeps per-device memory at O(N/sp): the
+        # modularity pair streams column chunks via ppermute instead of
+        # all-gathering the bag — the 100k-patch envelope for the flagship
+        self.sp_mode = validated_sp_mode(cfg) if self.sp_axis else "gather"
         model_kwargs = dict(
             cfg=cfg,
             num_classes=num_classes,
             gene_group_indexes=self.dm.gene_group_indexes or (),
         )
         self.model = build_model(
-            cfg.MODEL.NAME, sp_axis=self.sp_axis, **model_kwargs
+            cfg.MODEL.NAME, sp_axis=self.sp_axis, sp_mode=self.sp_mode,
+            **model_kwargs
         )
         init_model = (
             build_model(cfg.MODEL.NAME, **model_kwargs)
@@ -952,8 +958,6 @@ class MBTRAIN(TrainerBase):
         block grid per eval sample. The grid is sown inside the jitted
         bottleneck forward and rendered on host afterwards — no host I/O
         inside the compiled step, unlike the reference."""
-        if getattr(self, "sp_axis", None):
-            return  # similarity sowing isn't wired through shard_map yet
         if jax.process_index() != 0:
             return  # pods: PNG writers are primary-only (shared FS)
         try:
@@ -965,10 +969,10 @@ class MBTRAIN(TrainerBase):
         except Exception:
             return
         model = self.model
+        sp = getattr(self, "sp_axis", None)
         if not hasattr(self, "_sim_step"):
 
-            @jax.jit
-            def sim_step(params, batch):
+            def sim_body(params, batch):
                 _, inter = model.apply(
                     params, batch, train=False, mutable=["intermediates"]
                 )
@@ -981,7 +985,26 @@ class MBTRAIN(TrainerBase):
                 ]
                 return leaves[0] if leaves else None
 
-            self._sim_step = sim_step
+            if sp:
+                # the eval forward contains seq-axis collectives (the
+                # distributed-softmax prototype cross-attention), so the
+                # sowing pass runs under shard_map like the eval step; the
+                # [B, P, O] grid itself is tiny and replicated over seq
+                from jax.sharding import PartitionSpec as P
+
+                mesh = self.mesh
+
+                def sim_step(params, batch):
+                    return jax.shard_map(
+                        sim_body,
+                        mesh=mesh,
+                        in_specs=(P(), sp_batch_specs(batch)),
+                        out_specs=P("data"),
+                    )(params, batch)
+
+                self._sim_step = jax.jit(sim_step)
+            else:
+                self._sim_step = jax.jit(sim_body)
 
         plot_dir = osp.join(self.output_dir, "plots")
         os.makedirs(plot_dir, exist_ok=True)

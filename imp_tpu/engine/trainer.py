@@ -77,6 +77,19 @@ def pad_ragged_dim0(arrays: Dict, n_shards: int) -> Dict:
 SEQ_SHARDED_KEYS = ("img", "img_mask")  # token axis shardable over "seq"
 
 
+def validated_sp_mode(cfg) -> str:
+    """``cfg.TPU.SP_ATTENTION`` with its value validated at the consumption
+    site: a typo like ``'rign'`` would otherwise silently fall through every
+    ``== "ring"`` check and run the gather layout, defeating the
+    memory-saving intent with no signal."""
+    mode = cfg.TPU.SP_ATTENTION
+    if mode not in ("gather", "ring"):
+        raise ValueError(
+            f"TPU.SP_ATTENTION must be 'gather' or 'ring', got {mode!r}"
+        )
+    return mode
+
+
 def sp_batch_specs(batch):
     """Per-key PartitionSpecs for a shard_map'ed train body on a dp x sp mesh:
     SEQ_SHARDED_KEYS shard (batch, token) over ("data", "seq"); REPLICATED_KEYS

@@ -16,7 +16,7 @@ from .backbone import SNN, SNN_M
 
 
 @MODEL_REGISTRY.register_as("umeml")
-def umeml(cfg=None, num_classes=0, **kwargs):
+def _umeml_factory(cfg=None, num_classes=0, **kwargs):
     return UMEML(
         num_classes=num_classes,
         hidden=cfg.MODEL.HIDDEN_DIM,
@@ -28,8 +28,8 @@ def umeml(cfg=None, num_classes=0, **kwargs):
 
 
 @MODEL_REGISTRY.register_as("umeml_gan")
-def umeml_gan(cfg=None, num_classes=0, gene_group_indexes=(), sp_axis=None,
-              **kwargs):
+def _umeml_gan_factory(cfg=None, num_classes=0, gene_group_indexes=(), sp_axis=None,
+              sp_mode="gather", **kwargs):
     proto_initializer = None
     if cfg.MODEL.UMEML.PROTO_INIT == "plip":
         from .prototypes import plip_prototype_init
@@ -50,15 +50,16 @@ def umeml_gan(cfg=None, num_classes=0, gene_group_indexes=(), sp_axis=None,
         kd_t=float(cfg.MODEL.UMEML.KD_T),
         proto_initializer=proto_initializer,
         sp_axis=sp_axis,
+        sp_mode=sp_mode,
     )
 
 
 @MODEL_REGISTRY.register_as("umeml_gan_plot")
-def umeml_gan_plot(cfg=None, num_classes=0, gene_group_indexes=(), **kwargs):
+def _umeml_gan_plot_factory(cfg=None, num_classes=0, gene_group_indexes=(), **kwargs):
     """Reference ``umeml_gan_plot.py``: same architecture as umeml_gan; at
     test time MBTRAIN additionally dumps per-sample path x omic similarity
     grids to ``plots/sim_<patient>.png`` (detected via the ``_plot`` suffix)."""
-    return umeml_gan(
+    return _umeml_gan_factory(
         cfg=cfg,
         num_classes=num_classes,
         gene_group_indexes=gene_group_indexes,
@@ -89,7 +90,7 @@ def snnm(num_mol=50, dropout=0.1, model_size_omic="small", **kwargs):
 
 
 @BACKBONE_REGISTRY.register_as("clipomic")
-def clipomic(num_mol=5, len_mol=200, model_size_omic="small", dropout=0.25, **kwargs):
+def _clipomic_factory(num_mol=5, len_mol=200, model_size_omic="small", dropout=0.25, **kwargs):
     from .clipomic import CLIPOMIC
 
     return CLIPOMIC(

@@ -67,6 +67,16 @@ from .layers import (
 # False restores two sequential passes (rescue / A-B knob).
 HEAD_FUSED = True
 
+# Bag-activations-only mixed precision (A/B knob, BASELINE.md r5): when set
+# to e.g. jnp.bfloat16, the [B, N, D] bag activations (the HBM-bound ~80 MB
+# fp32 per slide at bag 10k — post-path_net ReLU, dropout output, the
+# prototype cross-attention K/V reads) are stored/read in that dtype, while
+# params, losses, the pinv chain and the modularity kernels stay fp32 (the
+# modularity `_prepare` casts its input back to fp32 unconditionally, and
+# the attention einsums accumulate fp32 via preferred_element_type). None
+# (default) keeps the all-fp32 layout.
+BAG_DTYPE = None
+
 # Param-stack the parallel path/omic twins — the decoder TransLayers
 # (ref umeml_gan.py:300-301), their LayerNorms (ref :302-303), and the
 # per-prototype explainers (ref :313-314) — into single vmapped modules
@@ -140,6 +150,12 @@ class UMEML_GAN(nn.Module):
     # token shards over this mesh axis (run under shard_map); the bag
     # cross-attention and the modularity loss use the collective variants
     sp_axis: object = None  # Optional[str]
+    # TPU.SP_ATTENTION: how the modularity loss spans the sharded bag.
+    # "gather" all-gathers the normalized bag once ([B, N, D] per device);
+    # "ring" streams column chunks via ppermute — nothing of size N ever
+    # materializes on one device, so 100k-patch bags fit. The prototype
+    # cross-attention is distributed-softmax (O(N/sp)) in BOTH modes.
+    sp_mode: str = "gather"
 
     def setup(self):
         assert len(self.gene_group_indexes) == self.n_proto, (
@@ -227,7 +243,13 @@ class UMEML_GAN(nn.Module):
                 insample.astype(bool), batch["omic_means"][None, :], x_omic
             )
 
-        h = nn.relu(self.path_net(x_path))
+        h = self.path_net(x_path)
+        if BAG_DTYPE is not None:
+            # cast in the matmul epilogue: every materialized bag-sized
+            # tensor downstream (relu, dropout, mask-mult, attention K/V)
+            # is stored/read at half the bytes
+            h = h.astype(BAG_DTYPE)
+        h = nn.relu(h)
         if self.sp_axis is not None and not det:
             # distinct dropout mask per token shard = one consistent global
             # mask over the sharded bag (the data-axis index is folded into
@@ -482,9 +504,17 @@ class UMEML_GAN(nn.Module):
         if train:
             mask = batch.get("img_mask")
             if self.sp_axis is not None:
-                from ..parallel.sequence import compute_modularity_pair_sp
+                from ..parallel.sequence import (
+                    compute_modularity_pair_ring,
+                    compute_modularity_pair_sp,
+                )
 
-                modular_loss = compute_modularity_pair_sp(
+                pair_fn = (
+                    compute_modularity_pair_ring
+                    if self.sp_mode == "ring"
+                    else compute_modularity_pair_sp
+                )
+                modular_loss = pair_fn(
                     (enc["p_proto"], h_omic), enc["h_path_bag"],
                     valid_local=mask, axis_name=self.sp_axis,
                 )

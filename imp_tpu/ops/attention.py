@@ -332,11 +332,18 @@ class MultiheadAttention(nn.Module):
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
         proj = jnp.einsum("...d,de->...e", query, in_proj_w[:, :e]) + in_proj_b[:e]
         q = proj
-        k = jnp.einsum("...d,de->...e", key, in_proj_w[:, e : 2 * e]) + in_proj_b[e : 2 * e]
+        # k/v inherit the key/value dtype (a no-op at fp32): under the
+        # bag-bf16 policy (umeml_gan.BAG_DTYPE) the bag-sized K/V buffers
+        # stay half-width instead of being silently promoted by the fp32
+        # projection weights
+        k = (
+            jnp.einsum("...d,de->...e", key, in_proj_w[:, e : 2 * e])
+            + in_proj_b[e : 2 * e]
+        ).astype(key.dtype)
         v = (
             jnp.einsum("...d,de->...e", value, in_proj_w[:, 2 * e :])
             + in_proj_b[2 * e :]
-        )
+        ).astype(value.dtype)
 
         def split(t):
             b, n, _ = t.shape

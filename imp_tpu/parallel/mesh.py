@@ -41,8 +41,19 @@ def maybe_initialize_distributed() -> None:
         return
     kwargs = {"coordinator_address": addr}
     if os.environ.get("JAX_NUM_PROCESSES"):
+        if not os.environ.get("JAX_PROCESS_ID"):
+            raise ValueError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not — a "
+                "manual multi-process launch needs both (one unique "
+                "JAX_PROCESS_ID in [0, JAX_NUM_PROCESSES) per process)"
+            )
         kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
         kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    elif os.environ.get("JAX_PROCESS_ID"):
+        raise ValueError(
+            "JAX_PROCESS_ID is set but JAX_NUM_PROCESSES is not — a manual "
+            "multi-process launch needs both"
+        )
     jax.distributed.initialize(**kwargs)
 
 

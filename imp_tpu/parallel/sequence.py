@@ -238,9 +238,16 @@ def _ring_passes(norm_x_local, Cs_local, temp, axis_name):
         return x_chunk, deg_acc
 
     deg_local = jnp.zeros((b, nl), jnp.float32) + 0.0 * norm_x_local[:, :, 0]
-    _, deg_local = lax.fori_loop(
-        0, sp, deg_ring_step, (norm_x_local, deg_local)
-    )
+    # the ring loops are UNROLLED (sp is static): each hop's ppermute is a
+    # distinct collective instance rather than one channel re-entered sp
+    # times from inside a fori_loop — XLA:CPU's in-process rendezvous can
+    # deadlock on the reused-channel pattern under thread starvation
+    # (observed: 7 threads parked across a permute and a psum of the same
+    # op_id), and on TPU an unrolled static ring schedules identically
+    carry = (norm_x_local, deg_local)
+    for t in range(sp):
+        carry = deg_ring_step(t, carry)
+    _, deg_local = carry
     e = jnp.maximum(lax.psum(deg_local.sum(axis=1), axis_name), 1e-12)
     inv_e = (1.0 / e)[:, None, None]
 
@@ -313,19 +320,17 @@ def _ring_passes(norm_x_local, Cs_local, temp, axis_name):
         + 0.0 * norm_x_local[:, :1, :1]
         for C in Cs_local
     )
-    _, _, _, s1s, qs, dcs = lax.fori_loop(
-        0,
-        sp,
-        main_ring_step,
-        (
-            norm_x_local,
-            deg_local,
-            tuple(Cs_local),
-            zeros_b,
-            zeros_b,
-            dc_init,
-        ),
+    carry = (
+        norm_x_local,
+        deg_local,
+        tuple(Cs_local),
+        zeros_b,
+        zeros_b,
+        dc_init,
     )
+    for t in range(sp):  # unrolled: see the deg-pass note above
+        carry = main_ring_step(t, carry)
+    _, _, _, s1s, qs, dcs = carry
     traces = tuple(
         (lax.psum(s1, axis_name) - lax.psum(q, axis_name) / e) / e
         for s1, q in zip(s1s, qs)
@@ -430,7 +435,13 @@ def _ring_attn_fwd_loop(axis_name, cfg, q, k0, v0, m0):
 
     o0 = jnp.zeros(q.shape, jnp.float32) + 0.0 * q.astype(jnp.float32)
     lse0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32) + 0.0 * o0[..., 0]
-    # sp rotations = identity: chunks end the loop back at their owners
+    # sp rotations = identity: chunks end the loop back at their owners.
+    # Kept as fori_loop ON PURPOSE: the loop-carried K/V chunks live in ONE
+    # rotating buffer, which is what makes the O(N/sp) memory claim true
+    # (unrolling leaves per-hop chunk copies live — measured +40% temp in
+    # the TransMIL ring memory test); the XLA:CPU rendezvous deadlock that
+    # forced unrolling in _ring_passes has never been observed on this
+    # attention path.
     _, _, _, out, lse = lax.fori_loop(0, sp, step, (k0, v0, m0, o0, lse0))
     return out, lse
 
@@ -476,6 +487,8 @@ def _ring_attn_bwd(axis_name, cfg, res, do):
 
     z = jnp.zeros(k0.shape, jnp.float32) + 0.0 * k0.astype(jnp.float32)
     dqz = jnp.zeros(q.shape, jnp.float32) + 0.0 * q.astype(jnp.float32)
+    # fori_loop on purpose (rotating chunk buffers = the O(N/sp) memory
+    # contract) — see the forward loop's note
     _, _, _, dk, dv, dq = lax.fori_loop(
         0, sp, step, (k0, v0, m0, z, z, dqz)
     )

@@ -278,14 +278,24 @@ class ServingModel:
             return self.predict(batch)
 
         def sliced(k, v, s, e):
-            # replicated inputs (omic_means) pass through whole; everything
-            # else is sliced only when its outer length is the batch size b
-            # (over HTTP all inputs arrive as JSON lists, so len() is the
-            # only reliable discriminator)
+            # replicated inputs (omic_means) pass through whole; KNOWN
+            # per-sample keys must match the batch length exactly (a
+            # malformed field, e.g. 7 labels for 8 samples, would otherwise
+            # be silently broadcast to every chunk); unknown aux keys keep
+            # the length heuristic (over HTTP everything arrives as JSON
+            # lists, so len() is the only discriminator available there)
             if k in _REPLICATED_KEYS:
                 return v
+            n = len(v) if isinstance(v, (list, tuple)) else (
+                np.asarray(v).shape[0] if np.ndim(v) else None
+            )
+            if k in ("img", "mol", "label") and n != b:
+                raise ValueError(
+                    f"per-sample input {k!r} has length {n}, expected the "
+                    f"batch size {b}"
+                )
             if isinstance(v, (list, tuple)):  # ragged bag lists
-                return list(v[s:e]) if len(v) == b else v
+                return list(v[s:e]) if n == b else v
             v = np.asarray(v)
             return v[s:e] if v.ndim and v.shape[0] == b else v
 

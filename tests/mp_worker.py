@@ -7,8 +7,9 @@ paths that single-process tests can never reach:
 * ``maybe_initialize_distributed`` env-var bootstrap (parallel/mesh.py)
 * ``shard_batch``'s ``make_array_from_process_local_data`` branch
 * ``fetch_global``'s ``process_allgather`` branch (sharded eval outputs)
-* primary-only checkpoint write + ``sync_global_devices`` barrier
-  (utils/checkpoint.py) and the cross-process resume read
+* orbax COLLECTIVE checkpoint save (both processes in ck.save, phase A) +
+  primary-only msgpack write (phase B) + ``sync_global_devices`` barrier
+  (utils/checkpoint.py) and the cross-process, cross-format resume read
 * primary-only logger/importance-dump gating
 * ``host_local_slice`` per-host batch slicing
 
@@ -27,6 +28,11 @@ import sys
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=4"
+    # don't let a >30 s compile-skew stall abort the process (1-core host;
+    # same rationale as tests/conftest.py)
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+    + " --xla_cpu_collective_timeout_seconds=1800"
 ).strip()
 
 import jax
@@ -41,10 +47,11 @@ from imp_tpu.parallel import maybe_initialize_distributed  # noqa: E402
 maybe_initialize_distributed()
 
 
-def _cfg(root: str, out_dir: str, max_epoch: int):
+def _cfg(root: str, out_dir: str, max_epoch: int, backend: str = "msgpack"):
     from imp_tpu.config import get_cfg_default
 
     cfg = get_cfg_default()
+    cfg.TPU.CHECKPOINT_BACKEND = backend
     cfg.OUTPUT_DIR = out_dir
     cfg.SEED = 1
     cfg.DATASET.ROOT = root
@@ -98,16 +105,27 @@ def main(root: str, out_dir: str, result_path: str) -> None:
         new rendezvous within seconds of each other even on an
         oversubscribed 1-core host (a real pod has a core per process and
         never sees minutes of compile skew)."""
-        from jax._src import distributed
+        try:
+            # private API (no public pure-host barrier exists as of jax 0.9)
+            from jax._src import distributed
 
-        distributed.global_state.client.wait_at_barrier(
-            name, timeout_in_ms=1_800_000
-        )
+            distributed.global_state.client.wait_at_barrier(
+                name, timeout_in_ms=1_800_000
+            )
+        except (ImportError, AttributeError):
+            # fallback if a jax upgrade moves the client: a device collective
+            # also aligns the processes (at the cost of being itself subject
+            # to the Gloo rendezvous it is meant to protect)
+            multihost_utils.sync_global_devices(name)
     start, size = host_local_slice(8)
     assert (start, size) == (pid * 4, 4), (start, size)
 
-    # ---- phase A: train 1 epoch on the 8-device (2-process) mesh ----
-    trainer = build_trainer(_cfg(root, out_dir, max_epoch=1))
+    # ---- phase A: train 1 epoch on the 8-device (2-process) mesh; the
+    # epoch-1 checkpoint is an ORBAX COLLECTIVE WRITE — both processes
+    # enter ck.save and orbax's internal multihost commit protocol runs
+    # for real (VERDICT r4 item 4: this branch had never executed with
+    # process_count() > 1)
+    trainer = build_trainer(_cfg(root, out_dir, max_epoch=1, backend="orbax"))
     assert int(trainer.mesh.shape["data"]) == 8
     barrier("built")
     trainer.train()
@@ -116,19 +134,24 @@ def main(root: str, out_dir: str, result_path: str) -> None:
     barrier("evaled")
 
     ckpt_dir = osp.join(out_dir, "model")
-    # the barrier in save_checkpoint guarantees visibility on BOTH hosts
-    assert osp.exists(osp.join(ckpt_dir, "model.ckpt-1")), os.listdir(ckpt_dir)
+    # the barrier in save_checkpoint guarantees visibility on BOTH hosts;
+    # an orbax checkpoint is a tensorstore DIRECTORY, not a msgpack file
+    assert osp.isdir(osp.join(ckpt_dir, "model.ckpt-1")), os.listdir(ckpt_dir)
     assert osp.exists(osp.join(ckpt_dir, "checkpoint"))
     # primary-only importance dumps: written once, by process 0 only
     imp = osp.join(out_dir, "val_path.txt")
     assert osp.exists(imp)  # shared FS: both processes see the one file
 
-    # ---- phase B: fresh trainer resumes from the shared checkpoint ----
-    trainer2 = build_trainer(_cfg(root, out_dir, max_epoch=2))
+    # ---- phase B: fresh trainer resumes CROSS-FORMAT from the shared
+    # orbax checkpoint (readers auto-detect dir=orbax) and continues with
+    # the msgpack backend — its epoch-2 save exercises the primary-only
+    # replicated-write path in the same run
+    trainer2 = build_trainer(
+        _cfg(root, out_dir, max_epoch=2, backend="msgpack"))
     barrier("built2")
     trainer2.train()
     assert trainer2.start_epoch == 1, trainer2.start_epoch
-    assert osp.exists(osp.join(ckpt_dir, "model.ckpt-2"))
+    assert osp.isfile(osp.join(ckpt_dir, "model.ckpt-2"))
     barrier("trained2")
     val2 = float(trainer2.test(split="val"))
 

@@ -201,6 +201,11 @@ def test_predict_many_chunks_and_http_server(synth_root, tmp_path):
     np.testing.assert_allclose(got_rep["logits"], got["logits"],
                                rtol=0, atol=0)
 
+    # malformed per-sample inputs raise instead of silently broadcasting
+    # (5 mol rows for 6 bags must not be replicated to every chunk)
+    with pytest.raises(ValueError, match="per-sample input 'mol'"):
+        served.predict_many({"img": bags, "mol": mol[:5]})
+
     # ---- HTTP host on an ephemeral port ----
     server = make_http_server(out, port=0)
     port = server.server_address[1]

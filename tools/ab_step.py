@@ -26,7 +26,8 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--knob", default="head_fused",
-                    choices=["head_fused", "pinv", "stacked", "none"])
+                    choices=["head_fused", "pinv", "stacked", "prec",
+                             "bagbf16", "none"])
     ap.add_argument("--slots", type=int, default=4, help="timed slots PER ARM")
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--batch-size", type=int, default=2)
@@ -50,13 +51,25 @@ def main():
 
             ug = importlib.import_module("imp_tpu.models.umeml_gan")
             ug.STACKED_PAIRS = arm == "A"
+        elif args.knob == "bagbf16":
+            # A = bag-activations-only bf16 (params/losses/pinv/modularity
+            # stay fp32 — umeml_gan.BAG_DTYPE), B = all-fp32
+            import jax.numpy as jnp
+
+            import imp_tpu.models.umeml_gan as ug
+
+            ug.BAG_DTYPE = jnp.bfloat16 if arm == "A" else None
 
     print(f"knob={args.knob}  A=on/fused  B=off/xla  backend={jax.default_backend()}")
 
     steps, states, batches = {}, {}, {}
     for arm in ("A", "B"):
         set_knob(arm)
-        step, state, batch = build_step(batch_size=args.batch_size)
+        # knob "prec": A = full-bf16 forward/backward (TRAINER.PREC=bf16),
+        # B = fp32 — an arm-level build arg rather than a module global
+        prec = "bf16" if (args.knob == "prec" and arm == "A") else "fp32"
+        step, state, batch = build_step(
+            batch_size=args.batch_size, prec=prec)
         # trace/compile NOW, while the knob is set for this arm
         keys = jax.random.split(jax.random.PRNGKey(ord(arm)), 200)
         state, loss = step(state, batch, keys[0], 0.1)
