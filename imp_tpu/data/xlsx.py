@@ -89,8 +89,14 @@ def read_xlsx(path: str, sheet: int = 0) -> pd.DataFrame:
     header_r = min(rows)
     header = [rows[header_r].get(c) for c in range(max_col + 1)]
     ncols = max(c for c, name in enumerate(header) if name is not None) + 1
+    # blank header cells get pd.read_excel's placeholder names (a bare None
+    # key would collapse every unnamed column into one)
+    names = [
+        h if h is not None else f"Unnamed: {c}"
+        for c, h in enumerate(header[:ncols])
+    ]
     data = {
         c: [rows.get(r, {}).get(c, np.nan) for r in sorted(rows) if r != header_r]
         for c in range(ncols)
     }
-    return pd.DataFrame({header[c]: data[c] for c in range(ncols)})
+    return pd.DataFrame({names[c]: data[c] for c in range(ncols)})
