@@ -55,6 +55,10 @@ def _cell_value(cell, shared):
         return v.text
     if ctype == "b":
         return bool(int(v.text))
+    if ctype == "e":
+        # error cells (#N/A, #DIV/0!, ...) -> NaN, matching pd.read_excel's
+        # default na_values treatment of '#N/A' and friends
+        return None
     try:
         f = float(v.text)
     except ValueError:
@@ -67,9 +71,11 @@ def read_xlsx(path: str, sheet: int = 0) -> pd.DataFrame:
     ``pd.read_excel(path)`` for plain tabular workbooks."""
     with zipfile.ZipFile(path) as z:
         shared = _shared_strings(z)
+        # numeric sort: 'sheet10.xml' must come after 'sheet2.xml'
         sheets = sorted(
-            n for n in z.namelist()
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (n for n in z.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
         )
         root = ET.fromstring(z.read(sheets[sheet]))
     rows = {}
@@ -87,14 +93,19 @@ def read_xlsx(path: str, sheet: int = 0) -> pd.DataFrame:
     if not rows:
         return pd.DataFrame()
     header_r = min(rows)
-    header = [rows[header_r].get(c) for c in range(max_col + 1)]
-    ncols = max(c for c, name in enumerate(header) if name is not None) + 1
-    # blank header cells get pd.read_excel's placeholder names (a bare None
-    # key would collapse every unnamed column into one)
-    names = [
-        h if h is not None else f"Unnamed: {c}"
-        for c, h in enumerate(header[:ncols])
-    ]
+    ncols = max_col + 1  # keep trailing header-less data columns too
+    header = [rows[header_r].get(c) for c in range(ncols)]
+    # pd.read_excel naming semantics: blank header cells become
+    # 'Unnamed: N' (a bare None key would collapse every unnamed column
+    # into one) and duplicate names are mangled 'x', 'x.1', 'x.2', ...
+    names, seen = [], {}
+    for c, h in enumerate(header):
+        name = f"Unnamed: {c}" if h is None else h
+        if name in seen:
+            seen[name] += 1
+            name = f"{name}.{seen[name]}"
+        seen.setdefault(name, 0)
+        names.append(name)
     data = {
         c: [rows.get(r, {}).get(c, np.nan) for r in sorted(rows) if r != header_r]
         for c in range(ncols)

@@ -238,15 +238,24 @@ def _ring_passes(norm_x_local, Cs_local, temp, axis_name):
         return x_chunk, deg_acc
 
     deg_local = jnp.zeros((b, nl), jnp.float32) + 0.0 * norm_x_local[:, :, 0]
-    # the ring loops are UNROLLED (sp is static): each hop's ppermute is a
-    # distinct collective instance rather than one channel re-entered sp
-    # times from inside a fori_loop — XLA:CPU's in-process rendezvous can
-    # deadlock on the reused-channel pattern under thread starvation
-    # (observed: 7 threads parked across a permute and a psum of the same
-    # op_id), and on TPU an unrolled static ring schedules identically
-    carry = (norm_x_local, deg_local)
-    for t in range(sp):
-        carry = deg_ring_step(t, carry)
+    # ON CPU the ring loops are UNROLLED (sp is static): each hop's
+    # ppermute becomes a distinct collective instance rather than one
+    # channel re-entered sp times from inside a fori_loop — XLA:CPU's
+    # in-process rendezvous can deadlock on the reused-channel pattern
+    # under thread starvation (observed: 7 threads parked across a permute
+    # and a psum of the same op_id).  On TPU the fori_loop stays: its
+    # loop-carried chunks rotate through ONE buffer, preserving the
+    # O(N/sp) per-device memory contract at the 100k-patch envelope
+    # (unrolling keeps per-hop chunk copies live).
+    unroll = jax.default_backend() == "cpu"
+    if unroll:
+        carry = (norm_x_local, deg_local)
+        for t in range(sp):
+            carry = deg_ring_step(t, carry)
+    else:
+        carry = lax.fori_loop(
+            0, sp, deg_ring_step, (norm_x_local, deg_local)
+        )
     _, deg_local = carry
     e = jnp.maximum(lax.psum(deg_local.sum(axis=1), axis_name), 1e-12)
     inv_e = (1.0 / e)[:, None, None]
@@ -328,8 +337,11 @@ def _ring_passes(norm_x_local, Cs_local, temp, axis_name):
         zeros_b,
         dc_init,
     )
-    for t in range(sp):  # unrolled: see the deg-pass note above
-        carry = main_ring_step(t, carry)
+    if unroll:  # CPU: see the deg-pass note above
+        for t in range(sp):
+            carry = main_ring_step(t, carry)
+    else:  # TPU: rotating buffers = O(N/sp) memory
+        carry = lax.fori_loop(0, sp, main_ring_step, carry)
     _, _, _, s1s, qs, dcs = carry
     traces = tuple(
         (lax.psum(s1, axis_name) - lax.psum(q, axis_name) / e) / e

@@ -196,9 +196,11 @@ def test_read_xlsx_edge_cells(tmp_path):
         'formats.org/spreadsheetml/2006/main"><sheetData>'
         '<row r="1"><c r="A1" t="s"><v>0</v></c>'
         '<c r="B1" t="inlineStr"><is><t>num</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>num</t></is></c>'
         '<c r="AA1" t="inlineStr"><is><t>far</t></is></c></row>'
         '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>3.5</v></c>'
-        '<c r="AA2"><v>7</v></c></row>'
+        '<c r="C2"><v>9</v></c>'
+        '<c r="AA2"><v>7</v></c><c r="AB2"><v>42</v></c></row>'
         '<row r="3"><c r="B3" t="b"><v>1</v></c>'
         '<c r="AA3" t="e"><v>#N/A</v></c></row>'
         '</sheetData></worksheet>'
@@ -209,10 +211,16 @@ def test_read_xlsx_edge_cells(tmp_path):
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     df = read_xlsx(str(path))
     assert list(df.columns)[0] == "name" and list(df.columns)[1] == "num"
+    # duplicate headers mangle like pandas ('num', 'num.1'), blanks become
+    # 'Unnamed: N', and TRAILING header-less data columns are kept
+    assert list(df.columns)[2] == "num.1"
     assert list(df.columns)[26] == "far"
+    assert list(df.columns)[27] == "Unnamed: 27"
+    assert df["num.1"][0] == 9
+    assert df["Unnamed: 27"][0] == 42
     assert df["name"][0] == "hello world"
     assert df["num"][0] == 3.5
     assert df["far"][0] == 7
     assert pd.isna(df["name"][1])  # gap cell -> NaN
     assert df["num"][1] is True or df["num"][1] == True  # noqa: E712
-    assert df["far"][1] == "#N/A"  # error cell surfaces like pd.read_excel
+    assert pd.isna(df["far"][1])  # error cell (#N/A) -> NaN like read_excel

@@ -31,7 +31,11 @@ def read_meta(path: str) -> pd.DataFrame:
     try:
         return pd.read_excel(path)
     except ImportError:
-        # no openpyxl engine in this environment: stdlib fallback
+        if not path.endswith(".xlsx"):
+            # legacy binary .xls is not a zip — the stdlib fallback cannot
+            # parse it; surface the missing-engine error instead
+            raise
+        # no openpyxl engine in this environment: stdlib OOXML fallback
         from imp_tpu.data.xlsx import read_xlsx
 
         return read_xlsx(path)
