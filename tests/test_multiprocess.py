@@ -45,7 +45,11 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     # up to 2 attempts: Gloo's 30 s first-collective rendezvous can still
     # time out on a heavily-contended 1-core host (pure scheduling skew,
     # not a code path under test)
-    for attempt in range(2):
+    # Gloo's context init has a HARDCODED 30 s key-value deadline that the
+    # coordination-service barriers cannot protect (it fires inside the
+    # first collective dispatch); on an oversubscribed 1-core host two
+    # consecutive misses have been observed, so allow three attempts
+    for attempt in range(3):
         out_dir = str(tmp_path / f"out{attempt}")  # SHARED dir (pod model)
         port = _free_port()
 
@@ -80,7 +84,7 @@ def test_two_process_train_eval_checkpoint(tmp_path):
         if all(c == 0 for c in codes):
             break
         tail = _tail(tmp_path, attempt)
-        if attempt == 0 and "Gloo" in tail:
+        if attempt < 2 and "Gloo" in tail:
             continue  # rendezvous-timeout flake: one retry
         assert False, tail
 
